@@ -1,0 +1,59 @@
+"""Static-shape masking utilities.
+
+Everything in this framework is padded to bucketed static shapes; these
+helpers are the single place where mask/length conversions and pad-safe
+sequence reversals live.  All functions are jit-safe (no data-dependent
+shapes).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def lengths_from_mask(umask):
+    """(B, L) 0/1 mask -> (B,) int32 lengths.
+
+    Mirrors the reference's ``lengths = (umask[j]==1).nonzero()[-1]+1``
+    (``code/run_train_erc.py:194``) but stays on-device and vectorized.
+    Assumes masks are left-contiguous (all real utterances precede padding),
+    which the data layer guarantees.
+    """
+    return jnp.sum(umask > 0, axis=-1).astype(jnp.int32)
+
+
+def mask_from_lengths(lengths, max_len):
+    """(B,) lengths -> (B, max_len) float mask."""
+    pos = jnp.arange(max_len)[None, :]
+    return (pos < lengths[:, None]).astype(jnp.float32)
+
+
+def pair_mask(umask):
+    """(B, L) -> (B, L, L) outer-product validity mask for adjacencies."""
+    m = umask.astype(jnp.float32)
+    return m[:, :, None] * m[:, None, :]
+
+
+def flip_valid(x, umask):
+    """Reverse each sequence within its valid region, keeping pads in place.
+
+    Replaces the reference's per-dialogue python flip loop ``_reverse_seq``
+    (``code/model.py:1008-1017``) with a gather: position ``t`` maps to
+    ``len-1-t`` for ``t < len`` and stays put otherwise.  This makes backward
+    RNN scans padding-invariant (the reference instead runs cuDNN RNNs over
+    trailing pads — a batch-composition-dependent quirk we deliberately fix;
+    see DESIGN.md "faithful vs fixed").
+
+    Args:
+      x: (B, L, ...) batch-first sequences.
+      umask: (B, L) validity mask.
+    Returns:
+      x with each valid prefix reversed.
+    """
+    B, L = x.shape[0], x.shape[1]
+    lengths = lengths_from_mask(umask)
+    t = jnp.arange(L)[None, :]
+    src = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    return jnp.take_along_axis(
+        x, src.reshape(B, L, *([1] * (x.ndim - 2))).astype(jnp.int32), axis=1
+    ) if x.ndim > 2 else jnp.take_along_axis(x, src, axis=1)
