@@ -1,0 +1,210 @@
+"""Recurrent context encoders as XLA scans.
+
+The reference leans on cuDNN fused RNNs (``nn.GRU``/``nn.LSTM``,
+``code/model.py:866-868``, ``code/model_GCN.py:433``) and python time loops
+(DialogueRNN ``code/model.py:271-276``, MFN ``code/model_fusion.py:83-113``).
+On TPU the idiomatic equivalent is:
+
+* hoist the input-to-hidden projection out of the recurrence — one large
+  ``(B*L, D) @ (D, 3H)`` MXU matmul for the whole sequence;
+* run the hidden recurrence as a ``jax.lax.scan`` (the only truly sequential
+  part, O(L) small ``(B, H) @ (H, 3H)`` matmuls);
+* parallelize across dialogues (batch), never across time.
+
+Gate math matches torch exactly (gate order r,z,n for GRU; i,f,g,o for LSTM;
+``n = tanh(W_in x + b_in + r * (W_hn h + b_hn))``), verified against
+``torch.nn.GRU/LSTM`` in tests/test_rnn.py.
+
+Padding: forward scans may run over trailing pads (their outputs are masked
+downstream and cannot influence valid positions).  Backward scans use
+:func:`mmdfn_tpu.utils.flip_valid` so they see valid frames first — unlike
+the reference, which feeds padded tensors to cuDNN and lets the backward
+direction consume pads (a batch-composition-dependent quirk we fix; outputs
+at valid positions are padding-invariant here, see tests).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.utils import torch_init
+from mmdfn_tpu.utils.masking import flip_valid
+
+
+def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+              h0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the GRU hidden recurrence.
+
+    Args:
+      xg: (B, L, 3H) precomputed ``x @ W_ih + b_ih`` for all steps.
+      w_hh: (H, 3H); b_hh: (3H,); h0: (B, H).
+    Returns:
+      (outputs (B, L, H), final hidden (B, H)).
+    """
+    H = h0.shape[-1]
+
+    def step(h, xg_t):
+        hg = h @ w_hh + b_hh
+        xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), h_last
+
+
+def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
+               h0: jnp.ndarray, c0: jnp.ndarray):
+    """LSTM hidden recurrence; xg is (B, L, 4H) precomputed input gates."""
+
+    def step(carry, xg_t):
+        h, c = carry
+        g = xg_t + h @ w_hh + b_hh
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        gg = jnp.tanh(gg)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * gg
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xg, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
+
+
+class BiRNN(nn.Module):
+    """Multi-layer (optionally bidirectional) GRU/LSTM, torch-compatible.
+
+    Equivalent of the reference's ``nn.GRU(input, hidden, num_layers=2,
+    bidirectional=True, dropout=p)`` encoders (``code/model.py:866-868``) but
+    batch-first and mask-aware.  Inter-layer dropout follows torch: applied to
+    every layer's output except the last, train-time only.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = True
+    cell: str = "gru"          # "gru" | "lstm"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, umask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """x: (B, L, D) -> (B, L, H * num_directions)."""
+        B, L, _ = x.shape
+        H = self.hidden_size
+        n_gates = 3 if self.cell == "gru" else 4
+        scan = _gru_scan if self.cell == "gru" else _lstm_scan
+        init = torch_init.rnn_uniform(H)
+        directions = ("fwd", "bwd") if self.bidirectional else ("fwd",)
+
+        out = x
+        for layer in range(self.num_layers):
+            feats = []
+            for d in directions:
+                name = f"l{layer}_{d}"
+                in_dim = out.shape[-1]
+                w_ih = self.param(f"w_ih_{name}", init, (in_dim, n_gates * H))
+                w_hh = self.param(f"w_hh_{name}", init, (H, n_gates * H))
+                b_ih = self.param(f"b_ih_{name}", init, (n_gates * H,))
+                b_hh = self.param(f"b_hh_{name}", init, (n_gates * H,))
+                inp = out
+                if d == "bwd":
+                    inp = flip_valid(inp, umask) if umask is not None else inp[:, ::-1]
+                xg = inp @ w_ih + b_ih
+                h0 = jnp.zeros((B, H), dtype=x.dtype)
+                if self.cell == "gru":
+                    ys, _ = scan(xg, w_hh, b_hh, h0)
+                else:
+                    ys, _ = scan(xg, w_hh, b_hh, h0, jnp.zeros_like(h0))
+                if d == "bwd":
+                    ys = flip_valid(ys, umask) if umask is not None else ys[:, ::-1]
+                feats.append(ys)
+            out = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class LSTMCellStep(nn.Module):
+    """Single torch-compatible LSTM cell usable step-by-step.
+
+    The GCNII ``reason_flag`` path applies one shared ``nn.LSTM(H, H, 1)``
+    step per graph layer with state carried across layers (reference
+    ``code/model_GCN.py:458-467``); this module provides that cell.  Params
+    are created eagerly so the module can be applied inside ``lax.scan``.
+    """
+
+    hidden_size: int
+
+    def setup(self):
+        H = self.hidden_size
+        init = torch_init.rnn_uniform(H)
+        self.w_ih = self.param("w_ih", init, (H, 4 * H))
+        self.w_hh = self.param("w_hh", init, (H, 4 * H))
+        self.b_ih = self.param("b_ih", init, (4 * H,))
+        self.b_hh = self.param("b_hh", init, (4 * H,))
+
+    def __call__(self, x: jnp.ndarray, carry):
+        h, c = carry
+        g = x @ self.w_ih + self.b_ih + h @ self.w_hh + self.b_hh
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return h_new, (h_new, c_new)
+
+
+def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
+                    umask: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    """Contextual-reasoning (CRN) speaker encoder, fully vectorized.
+
+    The reference gathers each speaker's utterances into a left-packed
+    sub-sequence with nested python loops over batch x party
+    (``code/model.py:1040-1060`` and three near-copies at 1070-1154), runs a
+    shared party GRU, and scatters outputs back to utterance positions.
+
+    TPU-native formulation: the gather is a stable argsort permutation
+    (sort key = time for this party's utterances, time+L otherwise), the
+    scatter is the inverse permutation, and all parties run through the
+    shared RNN as one fused batch of size B*P.
+
+    Args:
+      rnn: shared party RNN (reference ``rnn_parties``, ``model.py:868``).
+      x: (B, L, D) projected utterance features.
+      qmask: (B, L, P) speaker one-hots (zero rows at pads).
+      umask: (B, L) validity mask.
+    Returns:
+      (B, L, D_out) per-utterance party-contextual features (zero where the
+      utterance has no speaker / is padding).
+    """
+    B, L, P = qmask.shape
+    t = jnp.arange(L)[None, None, :]
+    is_p = jnp.transpose(qmask, (0, 2, 1)) > 0            # (B, P, L)
+    is_p = jnp.logical_and(is_p, umask[:, None, :] > 0)
+    key = jnp.where(is_p, t, t + L)                        # (B, P, L)
+    perm = jnp.argsort(key, axis=-1)                       # party frames first
+    counts = jnp.sum(is_p, axis=-1)                        # (B, P)
+
+    xb = jnp.broadcast_to(x[:, None], (B, P, L, x.shape[-1]))
+    gathered = jnp.take_along_axis(xb, perm[..., None], axis=2)
+    valid = (jnp.arange(L)[None, None, :] < counts[..., None])
+    gathered = gathered * valid[..., None]
+
+    flat = gathered.reshape(B * P, L, x.shape[-1])
+    flat_mask = valid.reshape(B * P, L).astype(x.dtype)
+    E = rnn(flat, flat_mask, deterministic=deterministic)  # (B*P, L, D_out)
+    E = E.reshape(B, P, L, -1)
+
+    inv = jnp.argsort(perm, axis=-1)                       # inverse permutation
+    back = jnp.take_along_axis(E, inv[..., None], axis=2)  # (B, P, L, D_out)
+    back = back * is_p[..., None]
+    return jnp.sum(back, axis=1)

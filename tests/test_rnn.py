@@ -1,0 +1,132 @@
+"""RNN parity tests vs torch.nn.GRU/LSTM with copied weights."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.nn import BiRNN, LSTMCellStep, crn_party_delta
+
+
+def copy_torch_rnn_params(trnn, params, num_layers, bidirectional, n_gates):
+    """Overwrite flax BiRNN params with a torch RNN module's weights."""
+    p = dict(params["params"])
+    dirs = ["fwd", "bwd"] if bidirectional else ["fwd"]
+    for layer in range(num_layers):
+        for di, d in enumerate(dirs):
+            suffix = "_reverse" if di == 1 else ""
+            name = f"l{layer}_{d}"
+            p[f"w_ih_{name}"] = jnp.array(
+                getattr(trnn, f"weight_ih_l{layer}{suffix}").detach().numpy().T)
+            p[f"w_hh_{name}"] = jnp.array(
+                getattr(trnn, f"weight_hh_l{layer}{suffix}").detach().numpy().T)
+            p[f"b_ih_{name}"] = jnp.array(
+                getattr(trnn, f"bias_ih_l{layer}{suffix}").detach().numpy())
+            p[f"b_hh_{name}"] = jnp.array(
+                getattr(trnn, f"bias_hh_l{layer}{suffix}").detach().numpy())
+    return {"params": p}
+
+
+@pytest.mark.parametrize("cell,n_gates", [("gru", 3), ("lstm", 4)])
+@pytest.mark.parametrize("num_layers,bidirectional", [(1, False), (2, True)])
+def test_birnn_matches_torch(rng, cell, n_gates, num_layers, bidirectional):
+    B, L, D, H = 3, 7, 5, 4
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+
+    tcls = torch.nn.GRU if cell == "gru" else torch.nn.LSTM
+    trnn = tcls(input_size=D, hidden_size=H, num_layers=num_layers,
+                bidirectional=bidirectional, batch_first=True)
+    with torch.no_grad():
+        t_out, _ = trnn(torch.tensor(x))
+
+    m = BiRNN(hidden_size=H, num_layers=num_layers,
+              bidirectional=bidirectional, cell=cell, dropout=0.0)
+    params = m.init(jax.random.PRNGKey(0), jnp.array(x))
+    params = copy_torch_rnn_params(trnn, params, num_layers, bidirectional, n_gates)
+    # full-length mask: flip_valid == full flip == torch's unpadded behavior
+    umask = jnp.ones((B, L))
+    ours = m.apply(params, jnp.array(x), umask)
+    np.testing.assert_allclose(np.asarray(ours), t_out.numpy(), atol=2e-5)
+
+
+def test_birnn_padding_invariance(rng):
+    """Valid-position outputs must not change when padding grows."""
+    B, L, D, H = 2, 6, 5, 4
+    lengths = np.array([4, 6])
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    umask = (np.arange(L)[None] < lengths[:, None]).astype(np.float32)
+    x = x * umask[..., None]
+
+    m = BiRNN(hidden_size=H, num_layers=2, bidirectional=True, cell="gru")
+    params = m.init(jax.random.PRNGKey(1), jnp.array(x))
+    out1 = m.apply(params, jnp.array(x), jnp.array(umask))
+
+    pad = 5
+    x2 = np.concatenate([x, np.zeros((B, pad, D), np.float32)], axis=1)
+    umask2 = np.concatenate([umask, np.zeros((B, pad), np.float32)], axis=1)
+    out2 = m.apply(params, jnp.array(x2), jnp.array(umask2))
+
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(out1)[b, : lengths[b]],
+            np.asarray(out2)[b, : lengths[b]], atol=1e-6)
+
+
+def test_lstm_cell_step_matches_torch(rng):
+    H = 6
+    tcell = torch.nn.LSTMCell(H, H)
+    x = rng.standard_normal((3, H)).astype(np.float32)
+    h = rng.standard_normal((3, H)).astype(np.float32)
+    c = rng.standard_normal((3, H)).astype(np.float32)
+    with torch.no_grad():
+        th, tc = tcell(torch.tensor(x), (torch.tensor(h), torch.tensor(c)))
+
+    m = LSTMCellStep(hidden_size=H)
+    params = m.init(jax.random.PRNGKey(0), jnp.array(x), (jnp.array(h), jnp.array(c)))
+    p = {"params": {
+        "w_ih": jnp.array(tcell.weight_ih.detach().numpy().T),
+        "w_hh": jnp.array(tcell.weight_hh.detach().numpy().T),
+        "b_ih": jnp.array(tcell.bias_ih.detach().numpy()),
+        "b_hh": jnp.array(tcell.bias_hh.detach().numpy()),
+    }}
+    out, (nh, nc) = m.apply(p, jnp.array(x), (jnp.array(h), jnp.array(c)))
+    np.testing.assert_allclose(np.asarray(nh), th.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nc), tc.numpy(), atol=1e-5)
+
+
+def test_crn_party_delta_matches_loop_oracle(rng):
+    """Vectorized CRN gather/RNN/scatter == the reference's python-loop
+    algorithm (model.py:1040-1060) run with the same shared RNN."""
+    B, L, P, D, H = 3, 8, 2, 5, 4
+    lengths = np.array([8, 5, 3])
+    umask = (np.arange(L)[None] < lengths[:, None]).astype(np.float32)
+    x = (rng.standard_normal((B, L, D)) * umask[..., None]).astype(np.float32)
+    spk = rng.integers(0, P, size=(B, L))
+    qmask = np.zeros((B, L, P), np.float32)
+    qmask[np.arange(B)[:, None], np.arange(L)[None], spk] = 1.0
+    qmask *= umask[..., None]
+
+    rnn = BiRNN(hidden_size=H, num_layers=2, bidirectional=True, cell="gru")
+    params = rnn.init(jax.random.PRNGKey(0), jnp.zeros((1, L, D)))
+
+    ours = crn_party_delta(
+        lambda xx, mm, deterministic=True: rnn.apply(params, xx, mm),
+        jnp.array(x), jnp.array(qmask), jnp.array(umask))
+
+    # Loop oracle: left-pack each (b, p), run rnn, scatter back.
+    expect = np.zeros((B, L, 2 * H), np.float32)
+    for b in range(B):
+        for p in range(P):
+            idx = [t for t in range(int(lengths[b])) if qmask[b, t, p] == 1]
+            if not idx:
+                continue
+            packed = np.zeros((1, L, D), np.float32)
+            packed[0, : len(idx)] = x[b, idx]
+            pmask = np.zeros((1, L), np.float32)
+            pmask[0, : len(idx)] = 1.0
+            E = np.asarray(rnn.apply(params, jnp.array(packed), jnp.array(pmask)))
+            for k, t in enumerate(idx):
+                expect[b, t] = E[0, k]
+    np.testing.assert_allclose(np.asarray(ours), expect, atol=1e-5)
