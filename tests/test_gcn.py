@@ -1,0 +1,155 @@
+"""GCNII stack tests vs a numpy loop oracle of the reference layer math."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.nn.gcn import GCNIIStack, gcnii_conv
+from mmdfn_tpu.models import MMGCN, DeepGCNII, MMGCN2
+
+
+def np_lstm_step(x, h, c, w_ih, w_hh, b_ih, b_hh):
+    g = x @ w_ih + b_ih + h @ w_hh + b_hh
+    i, f, gg, o = np.split(g, 4, axis=-1)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    c2 = sig(f) * c + sig(i) * np.tanh(gg)
+    h2 = sig(o) * np.tanh(c2)
+    return h2, c2
+
+
+def oracle_stack(x, adj, p, nlayers, H, alpha, lamda, variant, reason,
+                 has_fc_in=True):
+    """numpy transliteration of the reference GCNII loop
+    (model_GCN.py:444-483, eval mode: no dropout)."""
+    if has_fc_in:
+        h = np.maximum(x @ p["fc_in"]["kernel"] + p["fc_in"]["bias"], 0)
+    else:
+        h = x
+    h0 = h
+    lstm_h = np.zeros_like(h)
+    lstm_c = np.zeros_like(h)
+    for i in range(nlayers):
+        theta = math.log(lamda / (i + 1) + 1)
+        if reason:
+            q = h
+            h, lstm_c = np_lstm_step(h, lstm_h, lstm_c, p["reason_w_ih"],
+                                     p["reason_w_hh"], p["reason_b_ih"],
+                                     p["reason_b_hh"])
+            lstm_h = h
+        hi = np.einsum("bnm,bmh->bnh", adj, h)
+        if variant:
+            support = np.concatenate([hi, h0], -1)
+            r = (1 - alpha) * hi + alpha * h0
+        else:
+            support = (1 - alpha) * hi + alpha * h0
+            r = support
+        h = np.maximum(theta * (support @ p["conv_w"][i]) + (1 - theta) * r, 0)
+        if reason:
+            h = h + q
+    return h
+
+
+@pytest.mark.parametrize("variant", [True, False])
+@pytest.mark.parametrize("reason", [True, False])
+def test_gcnii_stack_matches_oracle(rng, variant, reason):
+    B, N, F, H, nlayers = 2, 6, 5, 4, 3
+    alpha, lamda = 0.2, 0.5
+    x = rng.standard_normal((B, N, F)).astype(np.float32)
+    a = rng.random((B, N, N)).astype(np.float32)
+    adj = (a + a.transpose(0, 2, 1)) / 2
+
+    stack = GCNIIStack(nlayers=nlayers, nhidden=H, dropout=0.0, lamda=lamda,
+                       alpha=alpha, variant=variant, reason_flag=reason)
+    params = stack.init(jax.random.PRNGKey(0), jnp.array(x), jnp.array(adj))
+    _, ours = stack.apply(params, jnp.array(x), jnp.array(adj),
+                          deterministic=True)
+
+    p = jax.tree.map(np.asarray, params["params"])
+    want = oracle_stack(x, adj, p, nlayers, H, alpha, lamda, variant, reason)
+    np.testing.assert_allclose(np.asarray(ours), want, atol=1e-5)
+
+
+def test_gcnii_conv_theta_indexing():
+    """theta must use 1-based layer index: log(lamda/l + 1), l=1..n."""
+    B, N, H = 1, 2, 2
+    h = jnp.ones((B, N, H))
+    adj = jnp.eye(N)[None]
+    W = jnp.zeros((2 * H, H))
+    out = gcnii_conv(h, adj, h, W, jnp.log(0.5 / 1 + 1), 0.0, True)
+    np.testing.assert_allclose(np.asarray(out), (1 - math.log(1.5)) * np.ones((B, N, H)), atol=1e-6)
+
+
+def test_mmgcn_shapes_and_padding_invariance(rng):
+    B, L, D, H, P = 2, 6, 8, 4, 2
+    lengths = [6, 3]
+    umask = (np.arange(L)[None] < np.array(lengths)[:, None]).astype(np.float32)
+    feats = {m: (rng.standard_normal((B, L, D)) * umask[..., None]).astype(np.float32)
+             for m in "avl"}
+    spk = rng.integers(0, P, size=(B, L))
+    qmask = np.zeros((B, L, P), np.float32)
+    qmask[np.arange(B)[:, None], np.arange(L)[None], spk] = 1
+    qmask *= umask[..., None]
+
+    model = MMGCN(n_dim=D, nlayers=3, nhidden=H, nclass=6, dropout=0.0,
+                  use_speaker=True, reason_flag=True)
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: jnp.array(v) for k, v in feats.items()},
+                        jnp.array(qmask), jnp.array(umask))
+    out = model.apply(params, {k: jnp.array(v) for k, v in feats.items()},
+                      jnp.array(qmask), jnp.array(umask))
+    assert out.shape == (B, L, 3 * (D + H))
+
+    # pad growth must not change valid outputs
+    pad = 3
+    feats2 = {k: np.pad(v, ((0, 0), (0, pad), (0, 0))) for k, v in feats.items()}
+    qmask2 = np.pad(qmask, ((0, 0), (0, pad), (0, 0)))
+    umask2 = np.pad(umask, ((0, 0), (0, pad)))
+    out2 = model.apply(params, {k: jnp.array(v) for k, v in feats2.items()},
+                       jnp.array(qmask2), jnp.array(umask2))
+    for b, n in enumerate(lengths):
+        np.testing.assert_allclose(np.asarray(out)[b, :n],
+                                   np.asarray(out2)[b, :n], atol=2e-5)
+
+
+def test_mmgcn_bimodal(rng):
+    B, L, D, H = 2, 4, 6, 3
+    umask = np.ones((B, L), np.float32)
+    qmask = np.zeros((B, L, 2), np.float32)
+    qmask[..., 0] = 1
+    feats = {m: rng.standard_normal((B, L, D)).astype(np.float32) for m in "al"}
+    model = MMGCN(n_dim=D, nlayers=2, nhidden=H, nclass=6, dropout=0.0, modals="al")
+    params = model.init(jax.random.PRNGKey(0),
+                        {k: jnp.array(v) for k, v in feats.items()},
+                        jnp.array(qmask), jnp.array(umask))
+    out = model.apply(params, {k: jnp.array(v) for k, v in feats.items()},
+                      jnp.array(qmask), jnp.array(umask))
+    assert out.shape == (B, L, 2 * (D + H))
+
+
+def test_deep_gcnii_and_mmgcn2_forward(rng):
+    B, L, D, H = 2, 5, 6, 4
+    umask = np.ones((B, L), np.float32)
+    qmask = np.zeros((B, L, 2), np.float32)
+    qmask[..., 0] = 1
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+
+    net = DeepGCNII(nfeat=D, nlayers=2, nhidden=H, nclass=6, dropout=0.0,
+                    return_feature=False, use_residue=True)
+    params = net.init(jax.random.PRNGKey(0), jnp.array(x), jnp.array(qmask),
+                      jnp.array(umask))
+    out = net.apply(params, jnp.array(x), jnp.array(qmask), jnp.array(umask))
+    assert out.shape == (B, L, 6)
+    np.testing.assert_allclose(np.asarray(jnp.exp(out)).sum(-1), 1.0, atol=1e-5)
+
+    feats = {m: rng.standard_normal((B, L, D)).astype(np.float32) for m in "avl"}
+    m2 = MMGCN2(nfeat=D, nlayers=2, nhidden=H, nclass=6, dropout=0.0)
+    p2 = m2.init(jax.random.PRNGKey(1),
+                 {k: jnp.array(v) for k, v in feats.items()},
+                 jnp.array(qmask), jnp.array(umask))
+    out2 = m2.apply(p2, {k: jnp.array(v) for k, v in feats.items()},
+                    jnp.array(qmask), jnp.array(umask))
+    assert out2.shape == (B, L, D + 3 * H)
