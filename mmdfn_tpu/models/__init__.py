@@ -1,3 +1,8 @@
 from mmdfn_tpu.models.mm_gcn import MMGCN, MMGCN2, DeepGCNII
+from mmdfn_tpu.models.dialogue_gnn import DialogueGNN
+from mmdfn_tpu.models.relation_net import GraphNetwork, DenseRGCNConv, DenseGraphConv
 
-__all__ = ["MMGCN", "MMGCN2", "DeepGCNII"]
+__all__ = [
+    "MMGCN", "MMGCN2", "DeepGCNII", "DialogueGNN",
+    "GraphNetwork", "DenseRGCNConv", "DenseGraphConv",
+]

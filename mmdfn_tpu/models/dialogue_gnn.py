@@ -1,0 +1,362 @@
+"""DialogueGNN orchestrator — the flag-driven top-level ERC model.
+
+Rebuilds reference ``DialogueGNNModel`` (``code/model.py:784-1407``): base
+context encoder x graph type x fusion method assembly, all batched
+``(B, L, ...)`` with masks.  Graph-type dispatch (``model.py:896-972``):
+
+  * ``'GDF'``  -> :class:`MMGCN` with reason flag (MM-DFN, the flagship)
+  * ``'GF'``   -> :class:`MMGCN` without reason flag (MMGCN)
+  * ``'GF2'``  -> :class:`MMGCN2`
+  * ``'relation'`` -> per-modality :class:`GraphNetwork` (DialogueGCN style)
+  * ``'DeepGCN'``  -> per-modality :class:`DeepGCNII`
+  * ``'GCN3'``     -> per-modality :class:`GCN2Layers`
+  * ``'None'``     -> per-modality linear
+
+Deliberate fidelity notes:
+  * In the reference's multimodal relation path the edge weights fed to all
+    three graph nets come from the *last* computed modality (the edge_*
+    variables are overwritten across the three ``batch_graphify`` calls,
+    ``model.py:1183-1223``) — reproduced here.
+  * ``simple_batch_graphify`` (``model.py:553-565``) is the identity in our
+    batched representation (packing is never materialized).
+  * ``att_type='concat'`` collapses to the single-stream path
+    (``model.py:819-824`` sets ``multi_modal=False``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.config import (D_A, D_E, D_G, D_H, D_P, GRAPH_H,
+                              HIDDEN_MODALITY, MAX_SEQ_LEN, ExperimentConfig)
+from mmdfn_tpu.graph.relation import relation_type_ids, window_edge_mask
+from mmdfn_tpu.models.mm_gcn import MMGCN, MMGCN2, DeepGCNII
+from mmdfn_tpu.models.relation_net import GraphNetwork
+from mmdfn_tpu.nn.attention import MaskedEdgeAttention, MMGatedAttention
+from mmdfn_tpu.nn.gcn import GCN2Layers
+from mmdfn_tpu.nn.linear import TorchDense
+from mmdfn_tpu.nn.rnn import BiRNN, crn_party_delta
+
+
+class DialogueGNN(nn.Module):
+    """Top-level ERC model; construct via :meth:`from_config`."""
+
+    base_model: str = "LSTM"
+    D_m: int = 100
+    D_m_a: int = 1582
+    D_m_v: int = 342
+    n_speakers: int = 2
+    n_classes: int = 6
+    dropout: float = 0.4
+    graph_type: str = "GDF"
+    alpha: float = 0.2
+    lamda: float = 0.5
+    graph_construct: str = "direct"
+    use_gcn: bool = False
+    use_residue: bool = True
+    modals: str = "avl"
+    att_type: str = "concat_subsequently"
+    av_using_lstm: bool = False
+    deep_gcn_nlayers: int = 16
+    use_speaker: bool = False
+    use_modal: bool = False
+    reason_flag: bool = False
+    multi_modal: bool = True
+    use_crn_speaker: bool = True
+    speaker_weights: str = "3-0-1"
+    modal_weight: float = 1.0
+    window_past: int = 10
+    window_future: int = 10
+    nodal_attention: bool = True
+    max_seq_len: int = MAX_SEQ_LEN
+    graph_hidden_size: int = GRAPH_H
+    avec: bool = False
+
+    @classmethod
+    def from_config(cls, cfg: ExperimentConfig) -> "DialogueGNN":
+        info = cfg.info
+        multi_modal = cfg.multi_modal and cfg.mm_fusion_mthd in (
+            "gated", "concat_subsequently", "mfn", "mfn_only", "tfn_only",
+            "lmf_only", "concat_only")
+        return cls(
+            base_model=cfg.base_model,
+            D_m=cfg.D_m,
+            D_m_a=info["D_audio"],
+            D_m_v=info["D_visual"],
+            n_speakers=info["n_speakers"],
+            n_classes=info["n_classes"],
+            dropout=cfg.dropout,
+            graph_type=cfg.graph_type,
+            alpha=cfg.alpha,
+            lamda=cfg.lamda,
+            graph_construct=cfg.graph_construct,
+            use_gcn=cfg.use_gcn,
+            use_residue=cfg.use_residue,
+            modals=cfg.modals,
+            att_type=cfg.mm_fusion_mthd,
+            av_using_lstm=cfg.av_using_lstm,
+            deep_gcn_nlayers=cfg.Deep_GCN_nlayers,
+            use_speaker=cfg.use_speaker,
+            use_modal=cfg.use_modal,
+            reason_flag=cfg.reason_flag,
+            multi_modal=multi_modal,
+            use_crn_speaker=cfg.use_crn_speaker,
+            speaker_weights=cfg.speaker_weights,
+            modal_weight=cfg.modal_weight,
+            window_past=cfg.windowp,
+            window_future=cfg.windowf,
+            nodal_attention=cfg.nodal_attention,
+        )
+
+    @property
+    def speaker_weight_list(self):
+        return list(map(float, self.speaker_weights.split("-")))
+
+    # ------------------------------------------------------------------
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, qmask: jnp.ndarray,
+                 umask: jnp.ndarray, audio: Optional[jnp.ndarray] = None,
+                 visual: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """Returns per-utterance log-probs (B, L, n_classes) (pads garbage)."""
+        sw = self.speaker_weight_list
+        modals = [m for m in self.modals]
+
+        # ---------------- base context encoders (model.py:1021-1173) ----
+        emotions: Dict[str, jnp.ndarray] = {}
+        if self.base_model == "LSTM":
+            if not self.multi_modal:
+                hidden_ = {3: 250}.get(len(modals),
+                                       150 if self.modals in ("al", "vl") else 100)
+                U = TorchDense(hidden_, name="linear_")(text)
+                rnn = BiRNN(D_E, num_layers=2, bidirectional=True, cell="gru",
+                            dropout=self.dropout, name="lstm")
+                emo = rnn(U, umask, deterministic=deterministic)
+                if self.use_crn_speaker:
+                    parties = BiRNN(D_E, num_layers=2, bidirectional=True,
+                                    cell="gru", dropout=self.dropout,
+                                    name="rnn_parties")
+                    delta = crn_party_delta(
+                        lambda x, m, deterministic=True: parties(
+                            x, m, deterministic=deterministic),
+                        U, qmask, umask, deterministic=deterministic)
+                    emo = emo + sw[2] * delta
+                emotions["u"] = emo
+            else:
+                parties = BiRNN(D_E, num_layers=2, bidirectional=True,
+                                cell="gru", dropout=self.dropout,
+                                name="rnn_parties")
+
+                def crn(U_x, weight):
+                    delta = crn_party_delta(
+                        lambda x, m, deterministic=True: parties(
+                            x, m, deterministic=deterministic),
+                        U_x, qmask, umask, deterministic=deterministic)
+                    return weight * delta
+
+                if "a" in modals:
+                    U_a = TorchDense(HIDDEN_MODALITY, name="linear_a")(audio)
+                    emo_a = U_a
+                    if self.av_using_lstm:
+                        emo_a = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                      name="lstm_a")(U_a, umask, deterministic)
+                    if self.use_crn_speaker:
+                        emo_a = emo_a + crn(U_a, sw[0])
+                    emotions["a"] = emo_a
+                if "v" in modals:
+                    U_v = TorchDense(HIDDEN_MODALITY, name="linear_v")(visual)
+                    emo_v = U_v
+                    if self.av_using_lstm:
+                        emo_v = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                      name="lstm_v")(U_v, umask, deterministic)
+                    if self.use_crn_speaker:
+                        emo_v = emo_v + crn(U_v, sw[1])
+                    emotions["v"] = emo_v
+                if "l" in modals:
+                    U_l = TorchDense(HIDDEN_MODALITY, name="linear_l")(text)
+                    emo_l = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                  name="lstm_l")(U_l, umask, deterministic)
+                    if self.use_crn_speaker:
+                        emo_l = emo_l + crn(U_l, sw[2])
+                    emotions["l"] = emo_l
+        elif self.base_model == "GRU":
+            emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                  name="gru")(text, umask, deterministic)
+        elif self.base_model == "None":
+            if not self.multi_modal:
+                emotions["u"] = TorchDense(2 * D_E, name="base_linear")(text)
+            else:
+                if "a" in modals:
+                    emotions["a"] = TorchDense(HIDDEN_MODALITY, name="linear_a")(audio)
+                if "v" in modals:
+                    emotions["v"] = TorchDense(HIDDEN_MODALITY, name="linear_v")(visual)
+                if "l" in modals:
+                    emotions["l"] = TorchDense(HIDDEN_MODALITY, name="linear_l")(text)
+        else:
+            raise NotImplementedError(
+                f"base_model {self.base_model!r} not supported in the graph "
+                "orchestrator (use the standalone baselines for DialogRNN)")
+
+        # ---------------- graph nets + fusion + head ---------------------
+        if self.graph_type in ("GF", "GDF"):
+            reason = self.reason_flag if self.graph_type == "GDF" else False
+            graph = MMGCN(
+                n_dim=2 * D_E, nlayers=self.deep_gcn_nlayers,
+                nhidden=self.graph_hidden_size, nclass=self.n_classes,
+                dropout=self.dropout, lamda=self.lamda, alpha=self.alpha,
+                variant=True, return_feature=True,
+                use_residue=self.use_residue, n_speakers=self.n_speakers,
+                modals=self.modals, use_speaker=self.use_speaker,
+                use_modal=self.use_modal, reason_flag=reason,
+                modal_weight=self.modal_weight, name="graph_model")
+            feat = graph(emotions, qmask, umask, deterministic=deterministic)
+            feat = self._mfn_maybe(feat, umask, deterministic)
+            feat = nn.Dropout(self.dropout, name="dropout_")(
+                feat, deterministic=deterministic)
+            feat = nn.relu(feat)
+            logits = self._smax_fc(feat)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        if self.graph_type == "GF2":
+            graph = MMGCN2(
+                nfeat=2 * D_E, nlayers=64, nhidden=self.graph_hidden_size,
+                nclass=self.n_classes, dropout=self.dropout, lamda=0.5,
+                alpha=0.1, variant=True, return_feature=True,
+                use_residue=self.use_residue, modals=self.modals,
+                mm_graph=self.graph_construct, name="graph_model")
+            feat = graph(emotions, qmask, umask, deterministic=deterministic)
+            feat = self._mfn_maybe(feat, umask, deterministic)
+            feat = nn.Dropout(self.dropout, name="dropout_")(
+                feat, deterministic=deterministic)
+            feat = nn.relu(feat)
+            logits = self._smax_fc(feat)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        if self.graph_type == "relation":
+            edge_mask = window_edge_mask(umask, self.window_past, self.window_future)
+            rel_ids = relation_type_ids(qmask)
+            att_model = MaskedEdgeAttention(self.max_seq_len, name="att_model")
+            n_relations = 2 * self.n_speakers ** 2
+
+            def make_net(name):
+                return GraphNetwork(
+                    2 * D_E, self.n_classes, n_relations,
+                    hidden_size=self.graph_hidden_size, dropout=self.dropout,
+                    use_GCN=self.use_gcn,
+                    return_feature=self.multi_modal, name=name)
+
+            if not self.multi_modal:
+                edge_w = att_model(emotions["u"], edge_mask)
+                return make_net("graph_net")(
+                    emotions["u"], edge_w, rel_ids, edge_mask, qmask, umask,
+                    self.nodal_attention, self.avec, deterministic)
+
+            # faithful quirk: edge weights from the LAST modality computed
+            last = [m for m in "avl" if m in modals][-1]
+            edge_w = att_model(emotions[last], edge_mask)
+            feats = []
+            for m in "avl":
+                if m not in modals:
+                    continue
+                feats.append(make_net(f"graph_net_{m}")(
+                    emotions[m], edge_w, rel_ids, edge_mask, qmask, umask,
+                    self.nodal_attention, self.avec, deterministic))
+            feat = self._fuse(feats, modals, deterministic)
+            feat = nn.Dropout(self.dropout, name="dropout_")(
+                feat, deterministic=deterministic)
+            logits = self._smax_fc(feat)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        if self.graph_type in ("GCN3", "DeepGCN"):
+            def make_net(name):
+                if self.graph_type == "GCN3":
+                    return GCN2Layers(
+                        gcn_hid_dim=self.graph_hidden_size,
+                        num_class=self.n_classes, use_residue=self.use_residue,
+                        return_feature=self.multi_modal, name=name)
+                return DeepGCNII(
+                    nfeat=2 * D_E, nlayers=self.deep_gcn_nlayers,
+                    nhidden=self.graph_hidden_size, nclass=self.n_classes,
+                    dropout=self.dropout, lamda=0.5, alpha=0.1, variant=True,
+                    return_feature=self.multi_modal,
+                    use_residue=self.use_residue, reason_flag=self.reason_flag,
+                    name=name)
+
+            def run_net(net, x):
+                if self.graph_type == "GCN3":
+                    return net(x, qmask, umask, deterministic=deterministic)
+                return net(x, qmask, umask, deterministic=deterministic)
+
+            if not self.multi_modal:
+                return run_net(make_net("graph_net"), emotions["u"])
+            feats = [run_net(make_net(f"graph_net_{m}"), emotions[m])
+                     for m in "avl" if m in modals]
+            feat = self._fuse(feats, modals, deterministic)
+            feat = self._mfn_maybe(feat, umask, deterministic)
+            feat = nn.Dropout(self.dropout, name="dropout_")(
+                feat, deterministic=deterministic)
+            feat = nn.relu(feat)
+            logits = self._smax_fc(feat)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        if self.graph_type == "None":
+            if not self.multi_modal:
+                h = TorchDense(self.n_classes, name="graph_net")(emotions["u"])
+                return jax.nn.log_softmax(h, axis=-1)
+            feats = []
+            for m in "avl":
+                if m not in modals:
+                    continue
+                g = TorchDense(self.graph_hidden_size, name=f"graph_net_{m}")(
+                    emotions[m])
+                feats.append(jnp.concatenate([g, emotions[m]], axis=-1))
+            feat = self._fuse(feats, modals, deterministic)
+            feat = nn.Dropout(self.dropout, name="dropout_")(
+                feat, deterministic=deterministic)
+            logits = self._smax_fc(feat)
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        raise ValueError(f"unknown graph_type {self.graph_type!r}")
+
+    # ------------------------------------------------------------------
+    def _fuse(self, feats, modals, deterministic):
+        """concat_subsequently / gated / concat_only fusion
+        (model.py:1226-1241, 1252-1262, 1353-1399)."""
+        if self.att_type in ("concat_subsequently", "concat_only"):
+            return jnp.concatenate(feats, axis=-1)
+        if self.att_type == "gated":
+            byname = {m: f for m, f in zip([m for m in "avl" if m in modals], feats)}
+            gate = MMGatedAttention(
+                2 * D_E + self.graph_hidden_size, self.graph_hidden_size,
+                att_type="general", name="gatedatt")
+            return gate(byname.get("a"), byname.get("v"), byname.get("l"),
+                        modals=self.modals, deterministic=deterministic)
+        if self.att_type in ("mfn", "mfn_only", "tfn_only", "lmf_only"):
+            from mmdfn_tpu.nn.fusion import MFN, TFN, LMF
+            if self.att_type in ("tfn_only",):
+                return TFN(name="tfn")(feats[0], feats[1], feats[2],
+                                       deterministic=deterministic)
+            if self.att_type in ("lmf_only",):
+                return LMF(name="lmf")(feats[0], feats[1], feats[2],
+                                       deterministic=deterministic)
+            # mfn / mfn_only: sequence model over concat'd per-step features
+            x = jnp.concatenate([feats[2], feats[0], feats[1]], axis=-1)  # l,a,v
+            return MFN(name="mfn")(x, deterministic=deterministic)
+        raise ValueError(f"unknown fusion {self.att_type!r}")
+
+    def _mfn_maybe(self, feat, umask, deterministic):
+        """att_type='mfn' on graph paths runs MFN over the fused per-step
+        features (model.py:1303-1326)."""
+        if self.att_type != "mfn":
+            return feat
+        from mmdfn_tpu.nn.fusion import MFN
+        return MFN(name="mfn")(feat, deterministic=deterministic)
+
+    def _smax_fc(self, feat):
+        """Classifier head sizing mirrors model.py:984-1006 (the in-dim is
+        implied by the incoming feature width)."""
+        return TorchDense(self.n_classes, name="smax_fc")(feat)

@@ -1,0 +1,123 @@
+"""Dense relational GCN path (DialogueGCN-style 'relation' graph type).
+
+The reference uses torch-geometric's scatter-based ``RGCNConv`` (basis
+decomposition, ``num_bases=30``) + ``GraphConv`` on COO edge lists
+(``code/model.py:675-715``).  TPU-native formulation: the edge list becomes a
+``(B, L, L)`` window mask + ``(B, L, L)`` relation-id map
+(:mod:`mmdfn_tpu.graph.relation`), and the relational convolution becomes a
+basis-factorized einsum — for edge (src -> dst) with relation
+``r = (spk_src, spk_dst, dir)``:
+
+  ``out[dst] = x[dst] @ W_root + b + sum_src w[src,dst] * x[src] @ W_r``
+  with ``W_r = sum_b comp[r, b] * basis_b``
+
+computed as ``einsum('bsd,bsdB,bBso->bdo', weighted_mask, comp[rel_ids],
+x @ basis)`` — all MXU-dense, no scatters, exact for the tiny per-relation
+edge sets that made scatter RGCN latency-bound on GPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.graph.relation import relation_type_ids, window_edge_mask
+from mmdfn_tpu.nn.attention import MaskedEdgeAttention, MatchingAttention
+from mmdfn_tpu.nn.gcn import GCNLayer1
+from mmdfn_tpu.nn.linear import TorchDense
+from mmdfn_tpu.utils import torch_init
+
+
+class DenseRGCNConv(nn.Module):
+    """Basis-decomposition RGCN layer over dense masked adjacencies
+    (torch-geometric 1.4.3 ``RGCNConv`` semantics: additive aggregation of
+    ``x_src @ W_r * edge_norm``, root weight, bias)."""
+
+    in_features: int
+    out_features: int
+    num_relations: int
+    num_bases: int = 30
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, edge_weight: jnp.ndarray,
+                 rel_ids: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, L, F); edge_weight: (B, L, L) [src, dst] (0 = no edge);
+        rel_ids: (B, L, L) int relation per pair."""
+        bound = 1.0 / (self.in_features ** 0.5)
+        basis = self.param("basis", torch_init.uniform_by_bound(bound),
+                           (self.num_bases, self.in_features, self.out_features))
+        comp = self.param("comp", torch_init.uniform_by_bound(bound),
+                          (self.num_relations, self.num_bases))
+        root = self.param("root", torch_init.uniform_by_bound(bound),
+                          (self.in_features, self.out_features))
+        bias = self.param("bias", torch_init.uniform_by_bound(bound),
+                          (self.out_features,))
+
+        hb = jnp.einsum("bsf,Bfo->bBso", x, basis)        # per-basis projections
+        coef = comp[rel_ids]                               # (B, L, L, num_bases)
+        agg = jnp.einsum("bsd,bsdB,bBso->bdo", edge_weight, coef, hb)
+        return agg + x @ root + bias
+
+
+class DenseGraphConv(nn.Module):
+    """Dense equivalent of torch-geometric ``GraphConv``:
+    ``out[i] = x[i] @ W_root + sum_{src->i} x[src] @ W_nbr + b``."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, edge_mask: jnp.ndarray) -> jnp.ndarray:
+        nbr = TorchDense(self.out_features, use_bias=False, name="nbr")(x)
+        agg = jnp.einsum("bsd,bso->bdo", edge_mask, nbr)
+        return agg + TorchDense(self.out_features, name="root")(x)
+
+
+class GraphNetwork(nn.Module):
+    """Relation-graph network (reference ``GraphNetwork``,
+    ``model.py:675-715``): RGCN -> GraphConv -> residual concat, optional
+    parallel GCNLayer1 branch (``use_GCN``), and the nodal-attention
+    classifier (``classify_node_features``, ``model.py:647-672``)."""
+
+    num_features: int
+    num_classes: int
+    num_relations: int
+    hidden_size: int = 64
+    dropout: float = 0.5
+    use_GCN: bool = False
+    return_feature: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, edge_weight: jnp.ndarray,
+                 rel_ids: jnp.ndarray, edge_mask: jnp.ndarray,
+                 qmask: jnp.ndarray, umask: jnp.ndarray,
+                 nodal_attn: bool = True, avec: bool = False,
+                 deterministic: bool = True):
+        out1 = DenseRGCNConv(self.num_features, self.hidden_size,
+                             self.num_relations, name="conv1")(x, edge_weight, rel_ids)
+        out1 = DenseGraphConv(self.hidden_size, name="conv2")(out1, edge_mask)
+        if self.use_GCN:
+            out2 = GCNLayer1(self.hidden_size, new_graph=False, name="conv3")(x, qmask, umask)
+            out2 = GCNLayer1(self.hidden_size, new_graph=False, name="conv4")(out2, qmask, umask)
+            emotions = jnp.concatenate([x, out1, out2], axis=-1)
+        else:
+            emotions = jnp.concatenate([x, out1], axis=-1)
+        if self.return_feature:
+            return emotions
+        return self.classify(emotions, umask, nodal_attn, avec, deterministic)
+
+    def classify(self, emotions, umask, nodal_attn, avec, deterministic):
+        feat_dim = emotions.shape[-1]
+        if nodal_attn:
+            att, _ = MatchingAttention(feat_dim, feat_dim, att_type="general2",
+                                       name="matchatt")(emotions, emotions, umask)
+            hidden = nn.relu(TorchDense(self.hidden_size, name="linear")(att))
+        else:
+            hidden = nn.relu(TorchDense(self.hidden_size, name="linear")(emotions))
+        hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
+        hidden = TorchDense(self.num_classes, name="smax_fc")(hidden)
+        if avec:
+            return hidden
+        return jax.nn.log_softmax(hidden, axis=-1)

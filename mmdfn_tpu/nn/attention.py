@@ -1,0 +1,247 @@
+"""Attention primitives, batched over time (no per-step python loops).
+
+Reference counterparts in ``code/model.py``: SimpleAttention (:14),
+MatchingAttention (:32, four score types), multi-head Attention (:88),
+MaskedEdgeAttention (:420, dense ``attn1`` branch), MMGatedAttention (:718).
+
+The reference applies MatchingAttention once per time step inside python
+loops (e.g. ``model.py:345-349``); here the whole loop is a single batched
+``(B, L, L)`` attention matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.nn.linear import TorchDense
+
+
+class SimpleAttention(nn.Module):
+    """Scalar-scored softmax pooling over a sequence (``model.py:14-29``).
+
+    ``M``: (B, L, D); returns (pooled (B, D), alpha (B, L)).
+    """
+
+    @nn.compact
+    def __call__(self, M: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        scale = TorchDense(1, use_bias=False, name="scalar")(M)[..., 0]  # (B, L)
+        if mask is not None:
+            # pad scores excluded via renormalized masked softmax
+            alpha = jax.nn.softmax(scale, axis=-1) * mask
+            alpha = alpha / jnp.maximum(alpha.sum(-1, keepdims=True), 1e-12)
+        else:
+            alpha = jax.nn.softmax(scale, axis=-1)
+        pooled = jnp.einsum("bl,bld->bd", alpha, M)
+        return pooled, alpha
+
+
+class MatchingAttention(nn.Module):
+    """Candidate-conditioned attention with the reference's 4 score types
+    (``model.py:32-85``).  Batched over candidates: ``x`` may be (B, D_cand)
+    for one candidate or (B, T, D_cand) for T candidates at once (the
+    all-timesteps case that replaces the reference's per-step loop).
+
+    ``general2`` is the masked variant used everywhere that matters
+    (nodal attention, baseline heads): scores are masked pre-tanh-softmax and
+    the attention is renormalized over valid memory positions.
+    """
+
+    mem_dim: int
+    cand_dim: int
+    alpha_dim: Optional[int] = None
+    att_type: str = "general"
+
+    @nn.compact
+    def __call__(self, M: jnp.ndarray, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None):
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[:, None, :]
+        B, L, _ = M.shape
+        if mask is None:
+            mask = jnp.ones((B, L), dtype=M.dtype)
+
+        if self.att_type == "dot":
+            scores = jnp.einsum("btd,bld->btl", x, M)
+            alpha = jax.nn.softmax(scores, axis=-1)
+        elif self.att_type == "general":
+            xt = TorchDense(self.mem_dim, use_bias=False, name="transform")(x)
+            scores = jnp.einsum("btd,bld->btl", xt, M)
+            alpha = jax.nn.softmax(scores, axis=-1)
+        elif self.att_type == "general2":
+            xt = TorchDense(self.mem_dim, use_bias=True, name="transform")(x)
+            M_ = M * mask[..., None]
+            scores = jnp.einsum("btd,bld->btl", xt, M_) * mask[:, None, :]
+            scores = jnp.tanh(scores)
+            alpha = jax.nn.softmax(scores, axis=-1) * mask[:, None, :]
+            alpha = alpha / jnp.maximum(alpha.sum(-1, keepdims=True), 1e-12)
+        elif self.att_type == "concat":
+            T = x.shape[1]
+            Mx = jnp.concatenate(
+                [jnp.broadcast_to(M[:, None], (B, T, L, M.shape[-1])),
+                 jnp.broadcast_to(x[:, :, None], (B, T, L, x.shape[-1]))],
+                axis=-1)
+            mx_a = jnp.tanh(TorchDense(self.alpha_dim, use_bias=False,
+                                       name="transform")(Mx))
+            scores = TorchDense(1, use_bias=False, name="vector_prod")(mx_a)[..., 0]
+            alpha = jax.nn.softmax(scores, axis=-1)
+        else:
+            raise ValueError(f"unknown att_type {self.att_type!r}")
+
+        pooled = jnp.einsum("btl,bld->btd", alpha, M)
+        if squeeze:
+            return pooled[:, 0], alpha[:, 0]
+        return pooled, alpha
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention (``model.py:88-165``).
+
+    Faithful quirk preserved: the reference softmaxes scores over dim 0 — the
+    *fused head-batch* axis — rather than the key axis (``model.py:160``).
+    With ``n_head=1`` (every in-repo use) that is a softmax over the batch.
+    This module defaults to the sane key-axis softmax; set
+    ``faithful_softmax_dim0=True`` for bug-compatible behavior.
+    """
+
+    embed_dim: int
+    hidden_dim: Optional[int] = None
+    out_dim: Optional[int] = None
+    n_head: int = 1
+    score_function: str = "dot_product"
+    dropout: float = 0.0
+    faithful_softmax_dim0: bool = False
+
+    @nn.compact
+    def __call__(self, k: jnp.ndarray, q: jnp.ndarray,
+                 deterministic: bool = True):
+        hidden = self.hidden_dim or self.embed_dim // self.n_head
+        out_dim = self.out_dim or self.embed_dim
+        if q.ndim == 2:
+            q = q[:, None, :]
+        if k.ndim == 2:
+            k = k[:, None, :]
+        B, Lk, _ = k.shape
+        Lq = q.shape[1]
+        H = self.n_head
+
+        kx = TorchDense(H * hidden, name="w_k")(k).reshape(B, Lk, H, hidden)
+        qx = TorchDense(H * hidden, name="w_q")(q).reshape(B, Lq, H, hidden)
+        kx = jnp.moveaxis(kx, 2, 0).reshape(H * B, Lk, hidden)
+        qx = jnp.moveaxis(qx, 2, 0).reshape(H * B, Lq, hidden)
+
+        if self.score_function == "dot_product":
+            score = jnp.einsum("nqd,nkd->nqk", qx, kx)
+        elif self.score_function == "scaled_dot_product":
+            score = jnp.einsum("nqd,nkd->nqk", qx, kx) / jnp.sqrt(float(hidden))
+        elif self.score_function == "mlp":
+            from mmdfn_tpu.utils import torch_init
+            w = self.param("weight", torch_init.uniform_by_bound(1.0 / hidden ** 0.5),
+                           (hidden * 2,))
+            kq = jnp.concatenate(
+                [jnp.broadcast_to(kx[:, None], (H * B, Lq, Lk, hidden)),
+                 jnp.broadcast_to(qx[:, :, None], (H * B, Lq, Lk, hidden))],
+                axis=-1)
+            score = jnp.tanh(kq @ w)
+        elif self.score_function == "bi_linear":
+            from mmdfn_tpu.utils import torch_init
+            w = self.param("weight", torch_init.uniform_by_bound(1.0 / hidden ** 0.5),
+                           (hidden, hidden))
+            score = jnp.einsum("nqd,de,nke->nqk", qx, w, kx)
+        else:
+            raise ValueError("invalid score_function")
+
+        axis = 0 if self.faithful_softmax_dim0 else -1
+        score = jax.nn.softmax(score, axis=axis)
+        out = jnp.einsum("nqk,nkd->nqd", score, kx)
+        out = jnp.concatenate(jnp.split(out, H, axis=0), axis=-1)
+        out = TorchDense(out_dim, name="proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out, score
+
+
+class MaskedEdgeAttention(nn.Module):
+    """Dense edge-weight attention for relation graphs (``attn1`` branch,
+    ``model.py:439-471``).
+
+    Returns the full (B, L, L) edge-weight matrix ``w[b, src, dst]``:
+    a linear map scores every (channel=src, position=dst) pair, softmax over
+    positions, then masking to the window edge set and renormalization.
+    The reference's ``1e-10`` off-edge leakage in the denominator is kept.
+    """
+
+    max_seq_len: int
+
+    @nn.compact
+    def __call__(self, M: jnp.ndarray, edge_mask: jnp.ndarray) -> jnp.ndarray:
+        B, L, _ = M.shape
+        scale = TorchDense(self.max_seq_len, use_bias=False, name="scalar")(M)
+        # (B, pos, channel) -> (B, channel(src), pos(dst)); softmax over pos
+        alpha = jax.nn.softmax(jnp.swapaxes(scale, 1, 2), axis=-1)[:, :L, :]
+        soft_mask = jnp.where(edge_mask > 0, 1.0, 1e-10)
+        masked = alpha * soft_mask
+        sums = masked.sum(-1, keepdims=True)
+        return masked / jnp.maximum(sums, 1e-30) * edge_mask
+
+
+class MMGatedAttention(nn.Module):
+    """Gated trimodal fusion (``model.py:718-781``).
+
+    ``att_type='general'``: pairwise sigmoid gates
+    ``z_xy = sigma(W [x, y, x*y])`` blend tanh-projected modalities; output is
+    the concat of the gated pairs.  ``'av_bg_fusion'`` gates audio/visual
+    against text.  Inputs are (B, L, mem_dim) (or any leading shape).
+    """
+
+    mem_dim: int
+    cand_dim: int
+    att_type: str = "general"
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, a, v, l, modals="avl", deterministic: bool = True):
+        drop = lambda x, name: nn.Dropout(self.dropout)(x, deterministic=deterministic) if x is not None else x
+        a = drop(a, "a")
+        v = drop(v, "v")
+        l = drop(l, "l")
+
+        if self.att_type == "av_bg_fusion":
+            outs = [l]
+            if "a" in modals:
+                fal = jnp.concatenate([a, l], axis=-1)
+                Wa = jax.nn.sigmoid(TorchDense(self.cand_dim, name="transform_al")(fal))
+                outs.append(Wa * TorchDense(self.cand_dim, name="scalar_al")(a))
+            if "v" in modals:
+                fvl = jnp.concatenate([v, l], axis=-1)
+                Wv = jax.nn.sigmoid(TorchDense(self.cand_dim, name="transform_vl")(fvl))
+                outs.append(Wv * TorchDense(self.cand_dim, name="scalar_vl")(v))
+            return jnp.concatenate(outs, axis=-1)
+
+        ha = jnp.tanh(TorchDense(self.cand_dim, name="transform_a")(a)) if "a" in modals else a
+        hv = jnp.tanh(TorchDense(self.cand_dim, name="transform_v")(v)) if "v" in modals else v
+        hl = jnp.tanh(TorchDense(self.cand_dim, name="transform_l")(l)) if "l" in modals else l
+
+        parts = {}
+        if "a" in modals and "v" in modals:
+            z = jax.nn.sigmoid(TorchDense(1, name="transform_av")(
+                jnp.concatenate([a, v, a * v], axis=-1)))
+            parts["av"] = z * ha + (1 - z) * hv
+            if "l" not in modals:
+                return parts["av"]
+        if "a" in modals and "l" in modals:
+            z = jax.nn.sigmoid(TorchDense(1, name="transform_al")(
+                jnp.concatenate([a, l, a * l], axis=-1)))
+            parts["al"] = z * ha + (1 - z) * hl
+            if "v" not in modals:
+                return parts["al"]
+        if "v" in modals and "l" in modals:
+            z = jax.nn.sigmoid(TorchDense(1, name="transform_vl")(
+                jnp.concatenate([v, l, v * l], axis=-1)))
+            parts["vl"] = z * hv + (1 - z) * hl
+            if "a" not in modals:
+                return parts["vl"]
+        return jnp.concatenate([parts["av"], parts["al"], parts["vl"]], axis=-1)

@@ -195,7 +195,7 @@ class GCN2Layers(nn.Module):
     num_class: int
     use_residue: bool = True
     return_feature: bool = False
-    new_graph: bool = False
+    new_graph: bool = True  # GCNLayer1 default upstream (model_GCN.py:9)
 
     @nn.compact
     def __call__(self, x, qmask, umask, deterministic: bool = True):
