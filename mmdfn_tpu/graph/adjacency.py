@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,22 +35,39 @@ _SCALE = 0.99999  # reference multiplies cosines by this before arccos
 
 
 def _safe_unit(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """L2-normalize, mapping zero vectors (pads) to zero."""
+    """L2-normalize, mapping zero vectors (pads) to zero.
+
+    Gradient-safe: ``sqrt`` is evaluated on a value bounded away from zero so
+    pad rows don't emit ``0 * inf = nan`` cotangents (a ``where`` on the
+    output alone would not stop the nan from the sqrt's own backward).
+    """
     x = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
-    return x / jnp.where(norm > 0, norm, 1.0)
+    s = jnp.sum(x * x, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.where(s > 0, s, 1.0))
+    return x / norm
+
+
+def _safe_arccos(z: jnp.ndarray) -> jnp.ndarray:
+    """arccos with exact forward value but gradient clipped away from +/-1.
+
+    ``d/dz arccos = -1/sqrt(1-z^2)`` is -inf at the clip boundary; diagonal
+    cosines hit exactly 1.0, so the unprotected backward produces inf/nan.
+    """
+    zg = jnp.clip(z, -1.0 + 1e-6, 1.0 - 1e-6)
+    return jnp.arccos(zg) + jax.lax.stop_gradient(
+        jnp.arccos(z) - jnp.arccos(zg))
 
 
 def angular_similarity(cos: jnp.ndarray) -> jnp.ndarray:
     """``1 - arccos(0.99999 * cos) / pi`` (reference ``model_mm.py:149-151``)."""
-    return 1.0 - jnp.arccos(jnp.clip(cos * _SCALE, -1.0, 1.0)) / np.pi
+    return 1.0 - _safe_arccos(jnp.clip(cos * _SCALE, -1.0, 1.0)) / np.pi
 
 
 def arccos_similarity(cos: jnp.ndarray) -> jnp.ndarray:
     """Raw ``arccos(0.99999 * cos)`` — the MM_GCN2 / GCNII_lyc variant that
     *omits* the ``1 - x/pi`` map (reference ``model_mm.py:274``,
     ``model_GCN.py:500``).  Kept as a deliberate faithful quirk."""
-    return jnp.arccos(jnp.clip(cos * _SCALE, -1.0, 1.0))
+    return _safe_arccos(jnp.clip(cos * _SCALE, -1.0, 1.0))
 
 
 def angular_exact_similarity(cos: jnp.ndarray) -> jnp.ndarray:
@@ -57,7 +75,7 @@ def angular_exact_similarity(cos: jnp.ndarray) -> jnp.ndarray:
     ``atom_calculate_edge_weight`` path used by the speaker-chain and
     windowed-clique builders (reference ``model_GCN.py:33-41``), which clamps
     out-of-domain cosines to exactly +/-1 instead of rescaling."""
-    return 1.0 - jnp.arccos(jnp.clip(cos, -1.0, 1.0)) / np.pi
+    return 1.0 - _safe_arccos(jnp.clip(cos, -1.0, 1.0)) / np.pi
 
 
 _SIM = {
@@ -95,7 +113,8 @@ def symmetric_normalize(adj: jnp.ndarray, node_mask: Optional[jnp.ndarray] = Non
     its d^-1/2 is forced to 0 rather than inf).
     """
     d = jnp.sum(adj, axis=-1)
-    dinv = jnp.where(d > 0, jax_rsqrt(d), 0.0)
+    # double-where: rsqrt must never see 0 or its backward emits inf * 0 = nan
+    dinv = jnp.where(d > 0, jax_rsqrt(jnp.where(d > 0, d, 1.0)), 0.0)
     out = dinv[..., :, None] * adj * dinv[..., None, :]
     if node_mask is not None:
         m = node_mask.astype(adj.dtype)

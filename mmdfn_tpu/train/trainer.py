@@ -1,0 +1,355 @@
+"""Training/eval engine: jitted functional steps + reference-parity epoch loop.
+
+Rebuilds the reference trainer layer (``code/run_train_erc.py:92-238,554-644``)
+TPU-first:
+
+* The whole train step — forward, loss, backward, Adam update — is ONE jitted
+  function; XLA fuses the entire graph and keeps everything on-chip.  The
+  reference runs eager per-op CUDA kernels with a per-batch H2D boundary.
+* Static shapes via length-bucketed batches: jit caches one executable per
+  bucket, so an epoch touches a handful of compilations, then is pure compute.
+* Data parallelism: pass a ``Mesh`` and batches are sharded on the dialogue
+  axis (params replicated); XLA inserts the gradient ``psum`` over ICI.  The
+  adjacency is block-diagonal per dialogue so DP is exact — no semantic drift
+  from the single-chip run.
+* Buffer donation on params/opt-state avoids a full parameter copy per step.
+
+Reference-parity details reproduced exactly:
+* modality concat dispatch before the forward (``run_train_erc.py:170-199``);
+* graph-path loss = mean over valid utterances, epoch loss = mean of batch
+  losses (``run_train_erc.py:202,222``); non-graph epoch loss = utterance-
+  weighted (``run_train_erc.py:116,137``);
+* metrics identical to the sklearn calls (``run_train_erc.py:229-236``);
+* dual-patience early stopping and the ``valid_rate==0`` -> select-on-test
+  rule (``run_train_erc.py:609-638``);
+* per-epoch RNG reseed quirk (``run_train_erc.py:164``) as a faithful-mode
+  option (same dropout key stream every epoch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from mmdfn_tpu.config import ExperimentConfig
+from mmdfn_tpu.data.batching import Batch, BucketBatcher
+from mmdfn_tpu.losses import focal_loss, masked_nll_loss
+from mmdfn_tpu.models.dialogue_gnn import DialogueGNN
+from mmdfn_tpu.runtime import checkpoint as ckpt_lib
+from mmdfn_tpu.runtime.mesh import DATA_AXIS, batch_sharding, replicate
+from mmdfn_tpu.train import metrics as M
+from mmdfn_tpu.train.optim import torch_adam
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclass
+class EpochMetrics:
+    """One epoch's aggregate metrics (reference print contract)."""
+
+    loss: float
+    acc: float
+    fscore: float
+    labels: np.ndarray
+    preds: np.ndarray
+    report: str = ""
+    per_class_acc: List[str] = field(default_factory=list)
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    best_epoch: int
+    best_eval_fscore: float
+    best_test_acc: float
+    best_test_fscore: float
+    all_test_fscore: List[float]
+    all_test_acc: List[float]
+    history: List[Dict] = field(default_factory=list)
+
+
+def prepare_inputs(cfg: ExperimentConfig, batch: Batch) -> Dict[str, jnp.ndarray]:
+    """Modality selection/concat dispatch (``run_train_erc.py:170-199``)."""
+    text, audio, visual = batch.text, batch.audio, batch.visual
+    if cfg.multi_modal:
+        if cfg.mm_fusion_mthd == "concat":
+            order = {"avl": (audio, visual, text), "av": (audio, visual),
+                     "vl": (visual, text), "al": (audio, text)}
+            if cfg.modals not in order:
+                raise NotImplementedError(cfg.modals)
+            text = np.concatenate(order[cfg.modals], axis=-1)
+    else:
+        text = {"a": audio, "v": visual, "l": text}[cfg.modals]
+    return dict(
+        text=jnp.asarray(text), audio=jnp.asarray(audio),
+        visual=jnp.asarray(visual), qmask=jnp.asarray(batch.qmask),
+        umask=jnp.asarray(batch.umask), label=jnp.asarray(batch.label))
+
+
+class Trainer:
+    """Functional trainer for the DialogueGNN model family."""
+
+    def __init__(self, cfg: ExperimentConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape[DATA_AXIS]
+            if cfg.batch_size % n_data != 0:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must be divisible by the "
+                    f"mesh data axis ({n_data} devices) — every collated "
+                    "batch is padded to exactly batch_size dialogues")
+        self.model = DialogueGNN.from_config(cfg)
+        self.tx = torch_adam(cfg.lr, weight_decay=cfg.l2)
+        alpha = cfg.class_weights_or_none()
+        self.alpha = None if alpha is None else jnp.asarray(alpha)
+        self.loss_kind = ("focal" if (cfg.graph_model and cfg.loss == "FocalLoss")
+                          else "nll")
+        self._train_step, self._eval_step = self._build_steps()
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None,
+                   example: Optional[Dict[str, jnp.ndarray]] = None) -> TrainState:
+        cfg = self.cfg
+        if example is None:
+            info = cfg.info
+            B, L = 2, 8
+            example = dict(
+                text=jnp.zeros((B, L, cfg.D_m)),
+                audio=jnp.zeros((B, L, info["D_audio"])),
+                visual=jnp.zeros((B, L, info["D_visual"])),
+                qmask=jnp.zeros((B, L, info["n_speakers"])),
+                umask=jnp.ones((B, L)),
+                label=jnp.zeros((B, L), jnp.int32))
+        rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        variables = self.model.init(
+            rng, example["text"], example["qmask"], example["umask"],
+            example["audio"], example["visual"], deterministic=True)
+        params = variables["params"]
+        state = TrainState(params=params, opt_state=self.tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = replicate(self.mesh, state)
+        return state
+
+    # ------------------------------------------------------------------
+    def _loss(self, log_probs, label, umask):
+        if self.loss_kind == "focal":
+            return focal_loss(log_probs, label, umask, gamma=self.cfg.gamma,
+                              alpha=self.alpha)
+        return masked_nll_loss(log_probs, label, umask, weight=self.alpha)
+
+    def _build_steps(self):
+        model, cfg = self.model, self.cfg
+
+        def forward(params, batch, deterministic, rng):
+            rngs = None if deterministic else {"dropout": rng}
+            return model.apply(
+                {"params": params}, batch["text"], batch["qmask"],
+                batch["umask"], batch["audio"], batch["visual"],
+                deterministic=deterministic, rngs=rngs)
+
+        def loss_fn(params, batch, rng):
+            logp = forward(params, batch, False, rng)
+            return self._loss(logp, batch["label"], batch["umask"]), logp
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng):
+            (loss, logp), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, rng)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            new = TrainState(params=params, opt_state=opt_state,
+                             step=state.step + 1)
+            return new, loss, jnp.argmax(logp, axis=-1)
+
+        @jax.jit
+        def eval_step(params, batch):
+            logp = forward(params, batch, True, None)
+            loss = self._loss(logp, batch["label"], batch["umask"])
+            return loss, jnp.argmax(logp, axis=-1)
+
+        return train_step, eval_step
+
+    # ------------------------------------------------------------------
+    def _epoch_key(self, epoch: int) -> jax.Array:
+        base = jax.random.PRNGKey(self.cfg.seed)
+        if self.cfg.faithful_epoch_reseed:
+            return base  # reference reseeds identically every epoch (:164)
+        return jax.random.fold_in(base, epoch)
+
+    def _put(self, inputs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.mesh is None:
+            return inputs
+        s = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, s) for k, v in inputs.items()}
+
+    def run_epoch(self, state: TrainState, batches: Sequence[Batch],
+                  train: bool = False, epoch: int = 0,
+                  full_report: bool = False) -> Tuple[TrainState, EpochMetrics]:
+        """One pass over ``batches``; mirrors ``train_or_eval_graph_model``."""
+        cfg = self.cfg
+        losses, mask_sums = [], []
+        all_labels, all_preds = [], []
+        key = self._epoch_key(epoch)
+        for i, batch in enumerate(batches):
+            inputs = self._put(prepare_inputs(cfg, batch))
+            if train:
+                state, loss, preds = self._train_step(
+                    state, inputs, jax.random.fold_in(key, i))
+            else:
+                loss, preds = self._eval_step(state.params, inputs)
+            m = batch.umask.reshape(-1) > 0
+            all_labels.append(batch.label.reshape(-1)[m])
+            all_preds.append(np.asarray(preds).reshape(-1)[m])
+            losses.append(float(loss))
+            mask_sums.append(float(m.sum()))
+        if not all_labels:
+            nan = float("nan")
+            empty = np.zeros((0,), np.int32)
+            return state, EpochMetrics(nan, nan, nan, empty, empty)
+        labels = np.concatenate(all_labels)
+        preds = np.concatenate(all_preds)
+        if cfg.graph_model:
+            avg_loss = round(float(np.sum(losses) / len(losses)), 4)
+        else:
+            weighted = np.asarray(losses) * np.asarray(mask_sums)
+            avg_loss = round(float(np.sum(weighted) / np.sum(mask_sums)), 4)
+        n_classes = cfg.info["n_classes"]
+        acc = round(M.accuracy(labels, preds) * 100, 2)
+        fscore = round(M.f1_score(labels, preds, n_classes) * 100, 2)
+        result = EpochMetrics(avg_loss, acc, fscore, labels, preds)
+        if full_report:
+            names = cfg.info["target_names"]
+            result.report = M.classification_report(labels, preds, names)
+            result.per_class_acc = M.per_class_accuracy(labels, preds, names)
+        return state, result
+
+    # ------------------------------------------------------------------
+    def fit(self, train_dialogues, test_dialogues, valid_dialogues=(),
+            state: Optional[TrainState] = None, verbose: bool = True,
+            log_path: Optional[str] = None,
+            save_dir: Optional[str] = None) -> FitResult:
+        """Full training run with the reference's selection/early-stop rules."""
+        cfg = self.cfg
+        info = cfg.info
+        train_batcher = BucketBatcher(
+            train_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets,
+            shuffle=True, seed=cfg.seed,
+            sort_by_length=cfg.sort_batches_by_length)
+        valid_batches = list(BucketBatcher(
+            valid_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets))
+        test_batches = list(BucketBatcher(
+            test_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets))
+        if state is None:
+            state = self.init_state()
+
+        best_epoch, best_eval_fscore = -1, None
+        best_eval_loss, best_epoch2 = None, -1
+        patience = patience2 = 0
+        all_test_fscore: List[float] = []
+        all_test_acc: List[float] = []
+        history: List[Dict] = []
+        best_state = state
+        log_f = open(log_path, "a") if log_path else None
+
+        for e in range(cfg.epochs):
+            t0 = time.time()
+            state, tr = self.run_epoch(state, list(train_batcher.epoch(e)),
+                                       train=True, epoch=e)
+            _, va = self.run_epoch(state, valid_batches, epoch=e)
+            _, te = self.run_epoch(state, test_batches, epoch=e,
+                                   full_report=verbose)
+            all_test_fscore.append(te.fscore)
+            all_test_acc.append(te.acc)
+            # selection split: valid when valid_rate>0, else test (:609-612)
+            eval_loss, eval_fscore = ((va.loss, va.fscore)
+                                      if cfg.valid_rate > 0
+                                      else (te.loss, te.fscore))
+            if e == 0 or (best_eval_fscore is not None
+                          and best_eval_fscore < eval_fscore):
+                patience = 0
+                best_epoch, best_eval_fscore = e, eval_fscore
+                # host copy: the live state's device buffers get donated to
+                # the next train_step and would otherwise be invalidated
+                best_state = jax.tree_util.tree_map(np.asarray, state)
+                if save_dir:
+                    ckpt_lib.save_checkpoint(
+                        save_dir, state,
+                        meta=dict(epoch=e, eval_fscore=eval_fscore,
+                                  config=dataclasses.asdict(cfg)))
+            else:
+                patience += 1
+            if best_eval_loss is None:
+                best_eval_loss, best_epoch2 = eval_loss, 0
+            elif eval_loss < best_eval_loss:
+                best_epoch2, best_eval_loss = e, eval_loss
+                patience2 = 0
+            else:
+                patience2 += 1
+
+            row = dict(epoch=e, train_loss=tr.loss, train_acc=tr.acc,
+                       train_fscore=tr.fscore, valid_loss=va.loss,
+                       valid_acc=va.acc, valid_fscore=va.fscore,
+                       test_loss=te.loss, test_acc=te.acc,
+                       test_fscore=te.fscore,
+                       time=round(time.time() - t0, 2))
+            history.append(row)
+            if verbose:
+                print("epoch: {epoch}, train_loss: {train_loss}, train_acc: "
+                      "{train_acc}, train_fscore: {train_fscore}, valid_loss: "
+                      "{valid_loss}, valid_acc: {valid_acc}, valid_fscore: "
+                      "{valid_fscore}, test_loss: {test_loss}, test_acc: "
+                      "{test_acc}, test_fscore: {test_fscore}, time: {time} "
+                      "sec".format(**row))
+                print(te.report)
+                print(te.per_class_acc)
+            if log_f:
+                log_f.write(json.dumps(row) + "\n")
+                log_f.flush()
+            if patience >= cfg.patience and patience2 >= cfg.patience:
+                if verbose:
+                    print("Early stoping...", patience, patience2)
+                break
+
+        if log_f:
+            log_f.close()
+        if verbose:
+            print("Final Test performance...")
+            print("Eval-metric: F1, Epoch: {}, best_eval_fscore: {}, "
+                  "Accuracy: {}, F1-Score: {}".format(
+                      best_epoch, best_eval_fscore,
+                      all_test_acc[best_epoch] if best_epoch >= 0 else 0,
+                      all_test_fscore[best_epoch] if best_epoch >= 0 else 0))
+        return FitResult(
+            state=best_state, best_epoch=best_epoch,
+            best_eval_fscore=best_eval_fscore or 0.0,
+            best_test_acc=all_test_acc[best_epoch] if best_epoch >= 0 else 0.0,
+            best_test_fscore=(all_test_fscore[best_epoch]
+                              if best_epoch >= 0 else 0.0),
+            all_test_fscore=all_test_fscore, all_test_acc=all_test_acc,
+            history=history)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, state: TrainState, dialogues) -> EpochMetrics:
+        cfg = self.cfg
+        batches = list(BucketBatcher(dialogues, cfg.batch_size,
+                                     cfg.info["n_speakers"], cfg.buckets))
+        _, m = self.run_epoch(state, batches, full_report=True)
+        return m
