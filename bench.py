@@ -1,0 +1,90 @@
+"""Headline benchmark: flagship MM-DFN train-step throughput (dialogues/sec).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload matches the reference's flagship path (IEMOCAP GDF: trimodal
+encoders + CRN speaker GRU + dynamic cross-modal adjacency + 16 GCNII layers
+with reason-LSTM + focal loss + Adam), batch 32 dialogues of 20-80 turns with
+real IEMOCAP feature dims (text 100 / audio 1582 / visual 342).
+
+Baseline: the eager CPU PyTorch reference-equivalent measured by
+``benchmarks/torch_cpu_baseline.py`` on THIS machine (single-core container):
+0.712 dialogues/sec.  The build target is >=20x (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# measured by benchmarks/torch_cpu_baseline.py on this machine (1 CPU core,
+# torch 2.x eager, batch 32, lengths U[20,80], 16 GCNII layers)
+TORCH_CPU_BASELINE_DPS = 0.712
+
+BATCH = 32
+BUCKET = 80
+STEPS = 12
+NLAYERS = 16
+
+
+def make_batch(rng, B, L):
+    import jax.numpy as jnp
+    lengths = rng.integers(20, L + 1, size=B)
+    umask = (np.arange(L)[None, :] < lengths[:, None]).astype(np.float32)
+    spk = rng.integers(0, 2, size=(B, L))
+    qmask = np.zeros((B, L, 2), np.float32)
+    qmask[np.arange(B)[:, None], np.arange(L)[None, :], spk] = 1.0
+    qmask *= umask[..., None]
+
+    def feat(D):
+        return (rng.standard_normal((B, L, D), dtype=np.float32)
+                * umask[..., None])
+
+    return dict(
+        text=jnp.asarray(feat(100)), audio=jnp.asarray(feat(1582)),
+        visual=jnp.asarray(feat(342)), qmask=jnp.asarray(qmask),
+        umask=jnp.asarray(umask),
+        label=jnp.asarray((rng.integers(0, 6, size=(B, L))
+                           * umask).astype(np.int32)))
+
+
+def main():
+    import jax
+
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.train import Trainer
+
+    cfg = ExperimentConfig(
+        dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
+        class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
+        speaker_weights="3-0-1")
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+
+    rng = np.random.default_rng(0)
+    batches = [make_batch(rng, BATCH, BUCKET) for _ in range(4)]
+    key = jax.random.PRNGKey(0)
+
+    # warmup: compile + one executed step
+    state, loss, _ = trainer._train_step(state, batches[0], key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, loss, _ = trainer._train_step(
+            state, batches[i % len(batches)], jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    dps = STEPS * BATCH / dt
+    print(json.dumps({
+        "metric": "MM-DFN flagship train dialogues/sec "
+                  f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers, "
+                  f"{jax.devices()[0].platform})",
+        "value": round(dps, 2),
+        "unit": "dialogues/sec",
+        "vs_baseline": round(dps / TORCH_CPU_BASELINE_DPS, 2)}))
+
+
+if __name__ == "__main__":
+    main()
