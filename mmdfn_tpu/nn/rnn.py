@@ -135,6 +135,34 @@ class BiRNN(nn.Module):
         return out
 
 
+class GRUCellStep(nn.Module):
+    """Single torch-compatible GRU cell (``nn.GRUCell`` gate math).
+
+    Used by the DialogueRNN recurrence (reference ``code/model.py:180-183``:
+    ``g_cell``/``p_cell``/``e_cell``/``l_cell``) inside ``lax.scan``/``nn.scan``
+    bodies.  Params are created lazily from the input width.
+    """
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+        H = self.hidden_size
+        init = torch_init.rnn_uniform(H)
+        w_ih = self.param("w_ih", init, (x.shape[-1], 3 * H))
+        w_hh = self.param("w_hh", init, (H, 3 * H))
+        b_ih = self.param("b_ih", init, (3 * H,))
+        b_hh = self.param("b_hh", init, (3 * H,))
+        xg = x @ w_ih + b_ih
+        hg = h @ w_hh + b_hh
+        xr, xz, xn = jnp.split(xg, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1.0 - z) * n + z * h
+
+
 class LSTMCellStep(nn.Module):
     """Single torch-compatible LSTM cell usable step-by-step.
 

@@ -84,9 +84,15 @@ class FitResult:
 
 
 def prepare_inputs(cfg: ExperimentConfig, batch: Batch) -> Dict[str, jnp.ndarray]:
-    """Modality selection/concat dispatch (``run_train_erc.py:170-199``)."""
+    """Modality selection/concat dispatch (``run_train_erc.py:170-199``).
+
+    The dispatch lives in the reference's *graph* epoch driver only; the
+    non-graph driver feeds raw text features (``run_train_erc.py:107``).
+    """
     text, audio, visual = batch.text, batch.audio, batch.visual
-    if cfg.multi_modal:
+    if not cfg.graph_model:
+        pass
+    elif cfg.multi_modal:
         if cfg.mm_fusion_mthd == "concat":
             order = {"avl": (audio, visual, text), "av": (audio, visual),
                      "vl": (visual, text), "al": (audio, text)}
@@ -114,13 +120,39 @@ class Trainer:
                     f"batch_size={cfg.batch_size} must be divisible by the "
                     f"mesh data axis ({n_data} devices) — every collated "
                     "batch is padded to exactly batch_size dialogues")
-        self.model = DialogueGNN.from_config(cfg)
+        self.model = self._build_model(cfg)
         self.tx = torch_adam(cfg.lr, weight_decay=cfg.l2)
         alpha = cfg.class_weights_or_none()
         self.alpha = None if alpha is None else jnp.asarray(alpha)
         self.loss_kind = ("focal" if (cfg.graph_model and cfg.loss == "FocalLoss")
                           else "nll")
         self._train_step, self._eval_step = self._build_steps()
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _build_model(cfg: ExperimentConfig):
+        """Model assembly mirroring ``run_train_erc.py:416-487``."""
+        if cfg.graph_model:
+            return DialogueGNN.from_config(cfg)
+        from mmdfn_tpu.config import D_A, D_E, D_G, D_H, D_P
+        from mmdfn_tpu.models.baselines import (DialogRNNModel, GRUModel,
+                                                LSTMModel)
+        info = cfg.info
+        if cfg.base_model == "GRU":
+            return GRUModel(cfg.D_m, D_E, D_H, n_classes=info["n_classes"],
+                            dropout=cfg.dropout)
+        if cfg.base_model == "LSTM":
+            return LSTMModel(cfg.D_m, D_E, D_H, n_classes=info["n_classes"],
+                             dropout=cfg.dropout)
+        if cfg.base_model == "DialogRNN":
+            return DialogRNNModel(
+                cfg.D_m, D_G, D_P, D_E, D_H, D_a=D_A,
+                n_classes=info["n_classes"],
+                listener_state=cfg.active_listener,
+                context_attention=cfg.attention,
+                dropout_rec=cfg.rec_dropout, dropout=cfg.dropout)
+        raise ValueError(f"unknown base_model {cfg.base_model!r} for "
+                         "graph_model=False")
 
     # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None,
