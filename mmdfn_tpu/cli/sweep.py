@@ -1,0 +1,123 @@
+"""Hyperparameter sweep runner — replaces ``script/run_train_ie.sh`` /
+``run_train_me.sh`` (nested bash for-loops, one process per combo).
+
+The reference grids (``run_train_ie.sh:19-52``, ``run_train_me.sh:20-52``):
+
+  IEMOCAP: layers {16,32} x lr {1e-4,3e-4} x l2 {1e-4,2e-4} x dp {0.2,0.4}
+           x gamma {0.5,1}, speaker_weights 3-0-1, --class_weight --reason_flag
+  MELD:    layers {64,32,16} x lr {5e-4,1e-3} x l2 {1e-4,5e-4} x dp {0.4,0.2}
+           x gamma {0.5,1}, speaker_weights 0.5-0.5-1.5, --reason_flag
+
+Build-side improvements over the bash loops:
+  * completed configs are skipped by checkpoint presence (preemption-safe
+    resume for the whole sweep, SURVEY.md §5.3);
+  * one process, so XLA-compiled executables are reused across combos that
+    share bucket shapes (the model is tiny; compile time dominated the
+    reference's per-process sweep);
+  * results stream to a JSONL summary with the best combo tracked.
+
+Usage:
+  python -m mmdfn_tpu.cli.sweep --dataset IEMOCAP --data_dir .../features.pkl \
+      [--epochs 30] [--out_dir outputs/sweep_ie] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import json
+import os
+import time
+
+GRIDS = {
+    "IEMOCAP": dict(
+        Deep_GCN_nlayers=[16, 32], lr=[1e-4, 3e-4], l2=[1e-4, 2e-4],
+        dropout=[0.2, 0.4], gamma=[0.5, 1.0],
+        fixed=dict(speaker_weights="3-0-1", class_weight=True,
+                   reason_flag=True, graph_type="GDF", valid_rate=0.0),
+    ),
+    "MELD": dict(
+        Deep_GCN_nlayers=[64, 32, 16], lr=[5e-4, 1e-3], l2=[1e-4, 5e-4],
+        dropout=[0.4, 0.2], gamma=[0.5, 1.0],
+        fixed=dict(speaker_weights="0.5-0.5-1.5", class_weight=False,
+                   reason_flag=True, graph_type="GDF", valid_rate=0.0),
+    ),
+}
+
+
+def combos(dataset: str):
+    grid = dict(GRIDS[dataset])
+    fixed = grid.pop("fixed")
+    keys = list(grid)
+    for values in itertools.product(*(grid[k] for k in keys)):
+        yield {**fixed, **dict(zip(keys, values))}
+
+
+def combo_tag(c: dict) -> str:
+    return ("L{Deep_GCN_nlayers}_lr{lr}_l2{l2}_dp{dropout}_g{gamma}"
+            .format(**c))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="IEMOCAP",
+                    choices=sorted(GRIDS))
+    ap.add_argument("--data_dir", type=str, required=True)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch-size", type=int, default=32, dest="batch_size")
+    ap.add_argument("--out_dir", type=str, default=None)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="run only the first N combos (0 = all)")
+    ap.add_argument("--seed", type=int, default=2021)
+    args = ap.parse_args(argv)
+    out_dir = args.out_dir or f"outputs/sweep_{args.dataset.lower()}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.runtime import checkpoint as ckpt_lib
+    from mmdfn_tpu.train import Trainer
+    from mmdfn_tpu.cli.run_train_erc import load_dialogues
+
+    base = ExperimentConfig(dataset=args.dataset, data_dir=args.data_dir,
+                            epochs=args.epochs, batch_size=args.batch_size,
+                            seed=args.seed)
+    train, valid, test = load_dialogues(base)
+
+    summary_path = os.path.join(out_dir, "summary.jsonl")
+    best = None
+    todo = list(combos(args.dataset))
+    if args.limit:
+        todo = todo[: args.limit]
+    for i, combo in enumerate(todo):
+        tag = combo_tag(combo)
+        save_dir = os.path.join(out_dir, tag)
+        if ckpt_lib.has_checkpoint(save_dir, name="final"):
+            print(f"[{i + 1}/{len(todo)}] {tag}: already complete, skipping")
+            continue
+        print(f"[{i + 1}/{len(todo)}] {tag}: training")
+        cfg = dataclasses.replace(base, **combo)
+        t0 = time.time()
+        trainer = Trainer(cfg)
+        result = trainer.fit(train, test, valid_dialogues=valid,
+                             verbose=False, save_dir=save_dir)
+        row = dict(tag=tag, **combo,
+                   best_epoch=result.best_epoch,
+                   best_test_fscore=result.best_test_fscore,
+                   best_test_acc=result.best_test_acc,
+                   seconds=round(time.time() - t0, 1))
+        ckpt_lib.save_checkpoint(save_dir, result.state,
+                                 meta=row, name="final")
+        with open(summary_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print("   ->", row)
+        if best is None or row["best_test_fscore"] > best["best_test_fscore"]:
+            best = row
+    if best:
+        print("BEST:", json.dumps(best))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

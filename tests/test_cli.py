@@ -1,0 +1,80 @@
+"""CLI flag-surface and end-to-end invocation tests (in-process, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmdfn_tpu.cli.run_train_erc import build_parser, config_from_args, main
+from mmdfn_tpu.cli.sweep import GRIDS, combo_tag, combos
+
+
+def test_reference_flag_surface_defaults():
+    """Every reference flag parses with the reference default."""
+    args = build_parser().parse_args([])
+    expect = dict(
+        no_cuda=False, dataset="IEMOCAP", multi_modal=True, modals="avl",
+        mm_fusion_mthd="concat_subsequently", use_modal=False,
+        base_model="LSTM", graph_model=True, graph_type="GDF",
+        graph_construct="direct", use_gcn=False, nodal_attention=True,
+        use_topic=False, use_residue=True, av_using_lstm=False,
+        active_listener=False, attention="general", use_crn_speaker=True,
+        speaker_weights="3-0-1", use_speaker=False, reason_flag=False,
+        epochs=30, batch_size=32, valid_rate=0.0, modal_weight=1.0,
+        Deep_GCN_nlayers=16, lr=0.0003, l2=0.0001, rec_dropout=0.1,
+        dropout=0.4, alpha=0.2, lamda=0.5, gamma=0.5, windowp=10,
+        windowf=10, multiheads=6, loss="FocalLoss", class_weight=False,
+        tensorboard=False, test_label=False, seed=2021, patience=5)
+    for k, v in expect.items():
+        assert getattr(args, k) == v, k
+
+
+def test_sweep_script_invocation_parses():
+    """The run_train_ie.sh command line ports verbatim."""
+    argv = ("--dataset IEMOCAP --data_dir d.pkl --mm_fusion_mthd "
+            "concat_subsequently --modals avl --graph_type GDF "
+            "--Deep_GCN_nlayers 32 --lr 0.0001 --l2 0.0002 --dropout 0.2 "
+            "--gamma 1 --speaker_weights 3-0-1 --class_weight "
+            "--reason_flag --batch-size 32").split()
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    assert cfg.Deep_GCN_nlayers == 32 and cfg.gamma == 1.0
+    assert cfg.class_weight and cfg.reason_flag
+    assert cfg.batch_size == 32 and cfg.l2 == 0.0002
+
+
+def test_grid_sizes():
+    assert len(list(combos("IEMOCAP"))) == 32
+    assert len(list(combos("MELD"))) == 48
+    tags = [combo_tag(c) for c in combos("IEMOCAP")]
+    assert len(set(tags)) == 32
+
+
+def test_cli_end_to_end(tmp_path):
+    from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+    pkl = str(tmp_path / "iem.pkl")
+    make_synthetic_iemocap_pickle(pkl, n_train=6, n_test=3, min_len=4,
+                                  max_len=8, seed=2)
+    out = str(tmp_path / "out")
+    rc = main(["--dataset", "IEMOCAP", "--data_dir", pkl, "--epochs", "1",
+               "--batch-size", "4", "--Deep_GCN_nlayers", "2",
+               "--save_model_dir", out])
+    assert rc == 0
+    rc = main(["--dataset", "IEMOCAP", "--data_dir", pkl, "--batch-size",
+               "4", "--Deep_GCN_nlayers", "2", "--test_label",
+               "--load_model", out, "--save_model_dir", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "test_pred.npy"))
+    preds = np.load(os.path.join(out, "test_pred.npy"))
+    labels = np.load(os.path.join(out, "test_label.npy"))
+    assert preds.shape == labels.shape and preds.ndim == 1
+
+
+def test_cli_test_label_missing_checkpoint(tmp_path, capsys):
+    from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+    pkl = str(tmp_path / "iem.pkl")
+    make_synthetic_iemocap_pickle(pkl, n_train=2, n_test=2, min_len=4,
+                                  max_len=6, seed=2)
+    rc = main(["--dataset", "IEMOCAP", "--data_dir", pkl, "--test_label",
+               "--load_model", str(tmp_path / "nope")])
+    assert rc == 1
