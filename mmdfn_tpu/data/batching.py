@@ -80,6 +80,38 @@ def collate(dialogues: Sequence, batch_size: int, bucket: int,
                  umask=umask, label=label, vids=[d.vid for d in dialogues])
 
 
+@dataclass
+class TokenBatch:
+    """Statically shaped batch of token-id dialogues (DailyDialogue)."""
+
+    tokens: np.ndarray  # (B, L, W) int32
+    qmask: np.ndarray   # (B, L, n_speakers)
+    umask: np.ndarray   # (B, L)
+    label: np.ndarray   # (B, L) int32
+    vids: List[str] = dataclasses.field(default_factory=list)
+
+
+def collate_tokens(dialogues: Sequence, batch_size: int, bucket: int,
+                   n_speakers: int = 2,
+                   max_words: Optional[int] = None) -> TokenBatch:
+    """Pad TokenDialogue samples to one static (B, L, W) batch."""
+    assert len(dialogues) <= batch_size
+    W = max_words or max(d.tokens.shape[1] for d in dialogues)
+    B, L = batch_size, bucket
+    tokens = np.zeros((B, L, W), dtype=np.int32)
+    qmask = np.zeros((B, L, n_speakers), dtype=np.float32)
+    umask = np.zeros((B, L), dtype=np.float32)
+    label = np.zeros((B, L), dtype=np.int32)
+    for i, d in enumerate(dialogues):
+        n, w = d.tokens.shape
+        tokens[i, :n, :min(w, W)] = d.tokens[:, :W]
+        qmask[i, :n] = d.qmask
+        umask[i, :n] = 1.0
+        label[i, :n] = d.label
+    return TokenBatch(tokens=tokens, qmask=qmask, umask=umask, label=label,
+                      vids=[d.vid for d in dialogues])
+
+
 class BucketBatcher:
     """Epoch iterator over bucketed static batches.
 

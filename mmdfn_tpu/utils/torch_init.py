@@ -29,6 +29,14 @@ def linear_kernel(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
 
 
+def conv_kernel(key, shape, dtype=jnp.float32):
+    """torch nn.Conv1d/2d weight init for a flax Conv kernel
+    (*spatial, in_ch, out_ch): U(-k, k), k = 1/sqrt(in_ch * prod(spatial))."""
+    fan_in = int(np.prod(shape[:-1]))
+    k = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+
 def linear_bias(fan_in):
     """torch nn.Linear bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
 
