@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="minimize padding waste (build-side optimization)")
     add("--n_data_devices", type=int, default=0,
         help="data-parallel over this many devices (0 = single device)")
+    add("--profile_dir", type=str, default=None,
+        help="write a jax.profiler trace of training to this dir")
+    add("--debug_nans", action="store_true", default=False,
+        help="fail fast on nan/inf inside jitted steps")
     return p
 
 
@@ -157,12 +161,31 @@ def main(argv=None) -> int:
         print("test_acc:", m.acc, "test_fscore:", m.fscore)
         return 0
 
+    from mmdfn_tpu.runtime.profiling import debug_numerics, trace
+
+    if args.debug_nans:
+        debug_numerics(True)
+
     state = trainer.init_state()
     print("The model have {} parameters in total".format(
         count_params(state.params)))
-    result = trainer.fit(train, test, valid_dialogues=valid, state=state,
-                         verbose=True, log_path=cfg.log_jsonl,
-                         save_dir=args.save_model_dir)
+    with trace(args.profile_dir):
+        result = trainer.fit(train, test, valid_dialogues=valid, state=state,
+                             verbose=True, log_path=cfg.log_jsonl,
+                             save_dir=args.save_model_dir)
+
+    if args.tensorboard:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter()
+            for row in result.history:
+                for k, v in row.items():
+                    if isinstance(v, (int, float)) and v == v:
+                        writer.add_scalar(k, v, row["epoch"])
+            writer.close()
+        except ImportError:
+            print("tensorboardX not installed; epoch metrics were written "
+                  "to stdout/JSONL instead")
     return 0
 
 

@@ -1,0 +1,127 @@
+"""Profiling, throughput metering, and debug instrumentation.
+
+The reference's only perf artifact is a per-epoch wall-clock print
+(``run_train_erc.py:555,629-631``) and its observability is stdout plus an
+optional tensorboardX gradient-histogram dump (``run_train_erc.py:120-122``).
+Build-side equivalents (SURVEY.md §5.1/§5.5):
+
+* :class:`ThroughputMeter` — dialogues/sec + utterances/sec counters, the
+  BASELINE.md first-class metrics;
+* :func:`trace` — ``jax.profiler`` TensorBoard trace wrapper around any
+  region (XLA op-level timeline, HBM usage);
+* :func:`annotate` — named trace regions inside a step;
+* :func:`debug_numerics` — jax nan/inf debugging toggle (§5.2: the
+  deterministic functional step replaces the reference's need for cudnn
+  determinism flags);
+* :func:`grad_histograms` — per-parameter gradient histogram rows for the
+  tensorboard flag surface, computed on-device as (counts, edges).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+
+@dataclass
+class ThroughputMeter:
+    """Accumulates step timings into dialogues/sec and utterances/sec."""
+
+    dialogues: int = 0
+    utterances: int = 0
+    seconds: float = 0.0
+    _t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, n_dialogues: int, n_utterances: int):
+        assert self._t0 is not None, "stop() without start()"
+        self.seconds += time.perf_counter() - self._t0
+        self.dialogues += n_dialogues
+        self.utterances += n_utterances
+        self._t0 = None
+
+    @contextlib.contextmanager
+    def step(self, n_dialogues: int, n_utterances: int):
+        self.start()
+        try:
+            yield
+        finally:
+            self.stop(n_dialogues, n_utterances)
+
+    @property
+    def dialogues_per_sec(self) -> float:
+        return self.dialogues / self.seconds if self.seconds else 0.0
+
+    @property
+    def utterances_per_sec(self) -> float:
+        return self.utterances / self.seconds if self.seconds else 0.0
+
+    def summary(self) -> Dict[str, float]:
+        return dict(dialogues=self.dialogues, utterances=self.utterances,
+                    seconds=round(self.seconds, 3),
+                    dialogues_per_sec=round(self.dialogues_per_sec, 2),
+                    utterances_per_sec=round(self.utterances_per_sec, 2))
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]) -> Iterator[None]:
+    """``jax.profiler`` trace over a region; no-op when ``log_dir`` is None.
+
+    View with TensorBoard's profile plugin or Perfetto.
+    """
+    if not log_dir:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named sub-region inside a traced step (shows up on the timeline)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+def debug_numerics(enable: bool = True):
+    """Flip jax's nan/inf debugging (fails fast inside jit)."""
+    jax.config.update("jax_debug_nans", enable)
+    jax.config.update("jax_debug_infs", enable)
+
+
+def grad_histograms(grads, bins: int = 64) -> Dict[str, tuple]:
+    """Per-parameter gradient histograms (tensorboard flag surface,
+    reference ``run_train_erc.py:120-122``).  Returns
+    ``{param_path: (counts, bin_edges)}`` as host numpy arrays."""
+    out = {}
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    for path, g in flat:
+        name = jax.tree_util.keystr(path)
+        arr = np.asarray(g).ravel()
+        out[name] = np.histogram(arr, bins=bins)
+    return out
+
+
+class JsonlWriter:
+    """Append-only JSONL metric stream (structured step logs, §5.5)."""
+
+    def __init__(self, path: str):
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a")
+
+    def write(self, row: dict):
+        import json
+        self._f.write(json.dumps(row, default=float) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()

@@ -69,6 +69,7 @@ class EpochMetrics:
     preds: np.ndarray
     report: str = ""
     per_class_acc: List[str] = field(default_factory=list)
+    throughput: Dict = field(default_factory=dict)
 
 
 @dataclass
@@ -236,21 +237,26 @@ class Trainer:
                   train: bool = False, epoch: int = 0,
                   full_report: bool = False) -> Tuple[TrainState, EpochMetrics]:
         """One pass over ``batches``; mirrors ``train_or_eval_graph_model``."""
+        from mmdfn_tpu.runtime.profiling import ThroughputMeter
+
         cfg = self.cfg
         losses, mask_sums = [], []
         all_labels, all_preds = [], []
         key = self._epoch_key(epoch)
+        meter = ThroughputMeter()
         for i, batch in enumerate(batches):
-            inputs = self._put(prepare_inputs(cfg, batch))
-            if train:
-                state, loss, preds = self._train_step(
-                    state, inputs, jax.random.fold_in(key, i))
-            else:
-                loss, preds = self._eval_step(state.params, inputs)
-            m = batch.umask.reshape(-1) > 0
-            all_labels.append(batch.label.reshape(-1)[m])
-            all_preds.append(np.asarray(preds).reshape(-1)[m])
-            losses.append(float(loss))
+            n_dia = int((batch.umask.sum(-1) > 0).sum())
+            with meter.step(n_dia, batch.n_valid):
+                inputs = self._put(prepare_inputs(cfg, batch))
+                if train:
+                    state, loss, preds = self._train_step(
+                        state, inputs, jax.random.fold_in(key, i))
+                else:
+                    loss, preds = self._eval_step(state.params, inputs)
+                m = batch.umask.reshape(-1) > 0
+                all_labels.append(batch.label.reshape(-1)[m])
+                all_preds.append(np.asarray(preds).reshape(-1)[m])
+                losses.append(float(loss))  # forces device sync: honest timing
             mask_sums.append(float(m.sum()))
         if not all_labels:
             nan = float("nan")
@@ -266,7 +272,8 @@ class Trainer:
         n_classes = cfg.info["n_classes"]
         acc = round(M.accuracy(labels, preds) * 100, 2)
         fscore = round(M.f1_score(labels, preds, n_classes) * 100, 2)
-        result = EpochMetrics(avg_loss, acc, fscore, labels, preds)
+        result = EpochMetrics(avg_loss, acc, fscore, labels, preds,
+                              throughput=meter.summary())
         if full_report:
             names = cfg.info["target_names"]
             result.report = M.classification_report(labels, preds, names)
@@ -341,7 +348,9 @@ class Trainer:
                        valid_acc=va.acc, valid_fscore=va.fscore,
                        test_loss=te.loss, test_acc=te.acc,
                        test_fscore=te.fscore,
-                       time=round(time.time() - t0, 2))
+                       time=round(time.time() - t0, 2),
+                       train_dps=tr.throughput.get("dialogues_per_sec"),
+                       train_ups=tr.throughput.get("utterances_per_sec"))
             history.append(row)
             if verbose:
                 print("epoch: {epoch}, train_loss: {train_loss}, train_acc: "

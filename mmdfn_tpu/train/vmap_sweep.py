@@ -1,0 +1,262 @@
+"""Vmapped multi-config training: many hyperparameter combos on one chip.
+
+The reference sweeps hyperparameters with nested bash loops running one
+process per combo sequentially (``script/run_train_ie.sh:26-60``).  The
+MM-DFN model is tiny (~1-2M params), so a single TPU chip can train MANY
+combos *simultaneously*: stack the parameters of K configs along a leading
+axis and ``jax.vmap`` the whole train step.  Every matmul becomes K-times
+batched — exactly what the MXU wants — and one compiled executable sweeps
+the entire group.
+
+What can stack: anything that enters the step as *data* — learning rate, L2
+coefficient, focal gamma (and, with shared shapes, init seeds).  What cannot:
+flags that change parameter shapes or trace structure (``Deep_GCN_nlayers``,
+``dropout`` rate inside static module attrs, graph_type).  The sweep grid is
+therefore partitioned into static groups; each group trains as one vmapped
+run (IEMOCAP's 32-combo grid = 4 groups of 8).
+
+Early stopping is per-config via an update *freeze mask*: a stopped config's
+parameter updates are multiplied by zero (same math as stopping, no ragged
+control flow), and the group stops when every config is frozen.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmdfn_tpu.config import ExperimentConfig
+from mmdfn_tpu.data.batching import BucketBatcher
+from mmdfn_tpu.losses import focal_loss
+from mmdfn_tpu.train import metrics as M
+from mmdfn_tpu.train.trainer import Trainer, prepare_inputs
+
+
+@dataclass
+class GroupResult:
+    """Per-config outcomes of one vmapped group run."""
+
+    combos: List[dict]
+    best_epoch: List[int]
+    best_test_fscore: List[float]
+    best_test_acc: List[float]
+    history: List[List[dict]]           # [config][epoch] metric rows
+
+
+def group_combos(combos: Sequence[dict],
+                 static_keys: Sequence[str] = ("Deep_GCN_nlayers", "dropout")
+                 ) -> List[Tuple[dict, List[dict]]]:
+    """Partition combos by the hyperparameters that must stay static."""
+    groups: Dict[tuple, List[dict]] = {}
+    for c in combos:
+        key = tuple((k, c[k]) for k in static_keys if k in c)
+        groups.setdefault(key, []).append(c)
+    return [(dict(k), v) for k, v in groups.items()]
+
+
+def _adam_init(params):
+    zeros = lambda p: jnp.zeros_like(p)
+    return (jax.tree_util.tree_map(zeros, params),
+            jax.tree_util.tree_map(zeros, params),
+            jnp.zeros((), jnp.float32))
+
+
+def _adam_update(grads, state, params, lr, l2, freeze):
+    """torch-semantics Adam (coupled L2) with per-config lr/l2 scalars and a
+    freeze flag that turns the update into a no-op (early-stopped config)."""
+    m, v, t = state
+    t = t + (1.0 - freeze)              # frozen configs do not advance t
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def upd(g, p, m_, v_):
+        g = g + l2 * p
+        m2 = b1 * m_ + (1 - b1) * g
+        v2 = b2 * v_ + (1 - b2) * g * g
+        mhat = m2 / (1 - b1 ** t)
+        vhat = v2 / (1 - b2 ** t)
+        step = lr * mhat / (jnp.sqrt(vhat) + eps)
+        keep = 1.0 - freeze
+        return p - keep * step, m_ + keep * (m2 - m_), v_ + keep * (v2 - v_)
+
+    out = jax.tree_util.tree_map(upd, grads, params,
+                                 *(m, v))
+    new_params = jax.tree_util.tree_map(lambda x: x[0], out,
+                                        is_leaf=lambda x: isinstance(x, tuple))
+    new_m = jax.tree_util.tree_map(lambda x: x[1], out,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+    new_v = jax.tree_util.tree_map(lambda x: x[2], out,
+                                   is_leaf=lambda x: isinstance(x, tuple))
+    return new_params, (new_m, new_v, t)
+
+
+class VmapSweep:
+    """Train K same-shape configs simultaneously via stacked parameters."""
+
+    def __init__(self, base_cfg: ExperimentConfig, combos: Sequence[dict]):
+        static, dynamic = {}, []
+        for k, v in combos[0].items():
+            if all(c.get(k) == v for c in combos) and k not in ("lr", "l2",
+                                                               "gamma"):
+                static[k] = v
+        self.combos = list(combos)
+        self.K = len(combos)
+        self.cfg = dataclasses.replace(base_cfg, **static)
+        self.trainer = Trainer(self.cfg)    # provides model + input prep
+        self.lr = jnp.asarray([c["lr"] for c in combos], jnp.float32)
+        self.l2 = jnp.asarray([c["l2"] for c in combos], jnp.float32)
+        self.gamma = jnp.asarray([c.get("gamma", base_cfg.gamma)
+                                  for c in combos], jnp.float32)
+        alpha = self.cfg.class_weights_or_none()
+        self.alpha = None if alpha is None else jnp.asarray(alpha)
+        self._train_step, self._eval_step = self._build()
+
+    # ------------------------------------------------------------------
+    def init_states(self):
+        """Same seed for every config (reference seeds all runs with 2021)."""
+        base = self.trainer.init_state()
+        stack = lambda p: jnp.broadcast_to(p[None], (self.K,) + p.shape)
+        params = jax.tree_util.tree_map(stack, base.params)
+        m, v, t = _adam_init(params)
+        t = jnp.zeros((self.K,), jnp.float32)
+        return params, (m, v, t)
+
+    def _build(self):
+        model = self.trainer.model
+        cfg = self.cfg
+
+        def forward(params, batch, rng):
+            rngs = None if rng is None else {"dropout": rng}
+            return model.apply(
+                {"params": params}, batch["text"], batch["qmask"],
+                batch["umask"], batch["audio"], batch["visual"],
+                deterministic=rng is None, rngs=rngs)
+
+        def loss_fn(params, batch, rng, gamma):
+            logp = forward(params, batch, rng)
+            return focal_loss(logp, batch["label"], batch["umask"],
+                              gamma=gamma, alpha=self.alpha), logp
+
+        def one_train(params, opt, batch, rng, lr, l2, gamma, freeze):
+            (loss, logp), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, rng, gamma)
+            params, opt = _adam_update(grads, opt, params, lr, l2, freeze)
+            return params, opt, loss, jnp.argmax(logp, -1)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params_k, opt_k, batch, rng, freeze_k):
+            rngs = jax.random.split(rng, self.K)
+            return jax.vmap(one_train,
+                            in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
+                params_k, opt_k, batch, rngs, self.lr, self.l2, self.gamma,
+                freeze_k)
+
+        def one_eval(params, batch, gamma):
+            logp = forward(params, batch, None)
+            loss = focal_loss(logp, batch["label"], batch["umask"],
+                              gamma=gamma, alpha=self.alpha)
+            return loss, jnp.argmax(logp, -1)
+
+        @jax.jit
+        def eval_step(params_k, batch):
+            return jax.vmap(one_eval, in_axes=(0, None, 0))(
+                params_k, batch, self.gamma)
+
+        return train_step, eval_step
+
+    # ------------------------------------------------------------------
+    def run(self, train_dialogues, test_dialogues,
+            verbose: bool = True) -> GroupResult:
+        cfg = self.cfg
+        info = cfg.info
+        K = self.K
+        n_classes = info["n_classes"]
+        batcher = BucketBatcher(train_dialogues, cfg.batch_size,
+                                info["n_speakers"], cfg.buckets,
+                                shuffle=True, seed=cfg.seed)
+        test_batches = list(BucketBatcher(test_dialogues, cfg.batch_size,
+                                          info["n_speakers"], cfg.buckets))
+        params, opt = self.init_states()
+        freeze = jnp.zeros((K,), jnp.float32)
+
+        best_f = np.full(K, -1.0)
+        best_epoch = np.full(K, -1, dtype=int)
+        best_loss = np.full(K, np.inf)
+        patience = np.zeros(K, dtype=int)
+        patience2 = np.zeros(K, dtype=int)
+        all_f: List[List[float]] = [[] for _ in range(K)]
+        all_a: List[List[float]] = [[] for _ in range(K)]
+        history: List[List[dict]] = [[] for _ in range(K)]
+
+        for e in range(cfg.epochs):
+            key = jax.random.PRNGKey(cfg.seed)  # faithful per-epoch reseed
+            for i, batch in enumerate(batcher.epoch(e)):
+                inputs = prepare_inputs(cfg, batch)
+                params, opt, _, _ = self._train_step(
+                    params, opt, inputs, jax.random.fold_in(key, i), freeze)
+
+            # stacked eval over the test split
+            losses, preds_all, labels = [], [], []
+            for batch in test_batches:
+                inputs = prepare_inputs(cfg, batch)
+                loss_k, preds_k = self._eval_step(params, inputs)
+                m = batch.umask.reshape(-1) > 0
+                losses.append(np.asarray(loss_k))
+                preds_all.append(np.asarray(preds_k).reshape(K, -1)[:, m])
+                labels.append(batch.label.reshape(-1)[m])
+            labels = np.concatenate(labels)
+            preds = np.concatenate(preds_all, axis=1)
+            loss_k = np.mean(np.stack(losses), axis=0)
+
+            for k in range(K):
+                f = round(M.f1_score(labels, preds[k], n_classes) * 100, 2)
+                a = round(M.accuracy(labels, preds[k]) * 100, 2)
+                all_f[k].append(f)
+                all_a[k].append(a)
+                history[k].append(dict(epoch=e, test_fscore=f, test_acc=a,
+                                       test_loss=round(float(loss_k[k]), 4)))
+                if freeze[k] > 0:
+                    continue
+                if e == 0 or f > best_f[k]:
+                    best_f[k], best_epoch[k], patience[k] = f, e, 0
+                else:
+                    patience[k] += 1
+                if e == 0 or loss_k[k] < best_loss[k]:
+                    best_loss[k], patience2[k] = loss_k[k], 0
+                else:
+                    patience2[k] += 1
+            stop = (patience >= cfg.patience) & (patience2 >= cfg.patience)
+            freeze = jnp.asarray(stop.astype(np.float32))
+            if verbose:
+                print(f"epoch {e}: fscores "
+                      f"{[all_f[k][-1] for k in range(K)]} "
+                      f"active {int(K - stop.sum())}/{K}")
+            if stop.all():
+                break
+
+        return GroupResult(
+            combos=self.combos,
+            best_epoch=[int(b) for b in best_epoch],
+            best_test_fscore=[all_f[k][best_epoch[k]] for k in range(K)],
+            best_test_acc=[all_a[k][best_epoch[k]] for k in range(K)],
+            history=history)
+
+
+def run_grouped_sweep(base_cfg: ExperimentConfig, combos: Sequence[dict],
+                      train_dialogues, test_dialogues,
+                      verbose: bool = True) -> List[GroupResult]:
+    """Partition a sweep grid into static groups and vmap-train each."""
+    results = []
+    for static, group in group_combos(combos):
+        if verbose:
+            print(f"group {static}: {len(group)} configs vmapped")
+        cfg = dataclasses.replace(base_cfg, **static)
+        sweep = VmapSweep(cfg, group)
+        results.append(sweep.run(train_dialogues, test_dialogues, verbose))
+    return results

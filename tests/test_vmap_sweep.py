@@ -1,0 +1,68 @@
+"""Vmapped multi-config sweep: grouping, parity with single-config training."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mmdfn_tpu.config import ExperimentConfig
+from mmdfn_tpu.data.datasets import IEMOCAPDataset
+from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+from mmdfn_tpu.train import Trainer
+from mmdfn_tpu.train.vmap_sweep import VmapSweep, group_combos
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("d") / "iem.pkl")
+    make_synthetic_iemocap_pickle(path, n_train=8, n_test=4, min_len=4,
+                                  max_len=10, seed=7)
+    return (IEMOCAPDataset(path, True).dialogues(),
+            IEMOCAPDataset(path, False).dialogues())
+
+
+def base_cfg(**over):
+    d = dict(epochs=2, batch_size=4, Deep_GCN_nlayers=2, graph_type="GDF",
+             reason_flag=True, class_weight=True, buckets=(16,),
+             dropout=0.0, seed=2021)
+    d.update(over)
+    return ExperimentConfig(**d)
+
+
+def test_group_combos_partitions_by_static_keys():
+    combos = [dict(Deep_GCN_nlayers=n, dropout=d, lr=lr, l2=1e-4, gamma=0.5)
+              for n in (16, 32) for d in (0.2, 0.4) for lr in (1e-4, 3e-4)]
+    groups = group_combos(combos)
+    assert len(groups) == 4
+    assert all(len(g) == 2 for _, g in groups)
+    static, group = groups[0]
+    assert set(static) == {"Deep_GCN_nlayers", "dropout"}
+
+
+def test_vmap_group_matches_single_config(data):
+    """A config trained inside a vmapped group must match training it alone
+    (dropout off so the rng streams are irrelevant)."""
+    train, test = data
+    cfg = base_cfg()
+    combos = [dict(lr=3e-3, l2=1e-4, gamma=0.5),
+              dict(lr=1e-4, l2=2e-4, gamma=1.0)]
+    sweep = VmapSweep(cfg, combos)
+    res = sweep.run(train, test, verbose=False)
+    assert len(res.best_test_fscore) == 2
+
+    import dataclasses
+    for k, combo in enumerate(combos):
+        solo = Trainer(dataclasses.replace(cfg, **combo))
+        r = solo.fit(train, test, verbose=False)
+        assert r.all_test_fscore == [h["test_fscore"]
+                                     for h in res.history[k]], (k, combo)
+
+
+def test_vmap_configs_diverge(data):
+    """Different lr/gamma must actually produce different training curves."""
+    train, test = data
+    sweep = VmapSweep(base_cfg(epochs=2),
+                      [dict(lr=3e-3, l2=1e-4, gamma=0.5),
+                       dict(lr=1e-5, l2=1e-4, gamma=0.5)])
+    res = sweep.run(train, test, verbose=False)
+    assert res.history[0] != res.history[1]
