@@ -52,11 +52,21 @@ class Batch:
         return int(self.umask.sum())
 
 
-def _pack(arrs: List[np.ndarray], B: int, L: int, D: int, dtype=np.float32) -> np.ndarray:
+def _pack_numpy(arrs: List[np.ndarray], B: int, L: int, D: int,
+                dtype=np.float32) -> np.ndarray:
     out = np.zeros((B, L, D), dtype=dtype)
     for i, a in enumerate(arrs):
         out[i, : a.shape[0]] = a
     return out
+
+
+def _pack(arrs: List[np.ndarray], B: int, L: int, D: int, dtype=np.float32) -> np.ndarray:
+    if dtype is np.float32:
+        from mmdfn_tpu.data import _native
+        out = _native.pack_f32(arrs, B, L, D)
+        if out is not None:
+            return out
+    return _pack_numpy(arrs, B, L, D, dtype)
 
 
 def collate(dialogues: Sequence, batch_size: int, bucket: int,
@@ -70,12 +80,18 @@ def collate(dialogues: Sequence, batch_size: int, bucket: int,
     visual = _pack([d.visual for d in dialogues], B, L, D_v)
     audio = _pack([d.audio for d in dialogues], B, L, D_a)
     qmask = _pack([d.qmask for d in dialogues], B, L, n_speakers)
-    umask = np.zeros((B, L), dtype=np.float32)
-    label = np.zeros((B, L), dtype=np.int32)
-    for i, d in enumerate(dialogues):
-        n = len(d)
-        umask[i, :n] = 1.0
-        label[i, :n] = d.label
+
+    from mmdfn_tpu.data import _native
+    packed = _native.pack_masks_labels([d.label for d in dialogues], B, L)
+    if packed is not None:
+        umask, label = packed
+    else:
+        umask = np.zeros((B, L), dtype=np.float32)
+        label = np.zeros((B, L), dtype=np.int32)
+        for i, d in enumerate(dialogues):
+            n = len(d)
+            umask[i, :n] = 1.0
+            label[i, :n] = d.label
     return Batch(text=text, visual=visual, audio=audio, qmask=qmask,
                  umask=umask, label=label, vids=[d.vid for d in dialogues])
 
