@@ -161,8 +161,10 @@ def main(argv=None) -> int:
         print("test_acc:", m.acc, "test_fscore:", m.fscore)
         return 0
 
-    from mmdfn_tpu.runtime.profiling import debug_numerics, trace
+    from mmdfn_tpu.runtime.profiling import (debug_numerics,
+                                             enable_compilation_cache, trace)
 
+    enable_compilation_cache()
     if args.debug_nans:
         debug_numerics(True)
 

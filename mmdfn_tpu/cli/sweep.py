@@ -80,8 +80,11 @@ def main(argv=None) -> int:
 
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.runtime import checkpoint as ckpt_lib
+    from mmdfn_tpu.runtime.profiling import enable_compilation_cache
     from mmdfn_tpu.train import Trainer
     from mmdfn_tpu.cli.run_train_erc import load_dialogues
+
+    enable_compilation_cache()
 
     base = ExperimentConfig(dataset=args.dataset, data_dir=args.data_dir,
                             epochs=args.epochs, batch_size=args.batch_size,

@@ -91,6 +91,26 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def enable_compilation_cache(path: Optional[str] = None,
+                             min_compile_secs: float = 1.0):
+    """Persistent XLA compilation cache across processes.
+
+    TPU compiles of the 16-64 layer stacks take tens of seconds; the
+    reference-style one-process-per-config sweep would pay that per combo.
+    With the cache, recompiles of identical executables are disk hits.
+    """
+    import os
+    path = path or os.environ.get(
+        "MMDFN_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "mmdfn_tpu",
+                     "xla_cache"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
+    return path
+
+
 def debug_numerics(enable: bool = True):
     """Flip jax's nan/inf debugging (fails fast inside jit)."""
     jax.config.update("jax_debug_nans", enable)

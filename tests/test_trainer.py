@@ -153,3 +153,24 @@ def test_prepare_inputs_concat_dispatch(synthetic_data):
 def test_valid_split_semantics():
     tr, va = train_valid_split(10, 0.2)
     assert va == [0, 1] and tr == list(range(2, 10))
+
+
+def test_meld_end_to_end(tmp_path):
+    """MELD config (9 speakers, 7 classes, 600/300/342 dims, no class
+    weights, speaker_weights 0.5-0.5-1.5 as in run_train_me.sh) trains."""
+    from mmdfn_tpu.data.datasets import MELDDataset
+    from mmdfn_tpu.data.synthetic import make_synthetic_meld_pickle
+
+    path = str(tmp_path / "meld.pkl")
+    make_synthetic_meld_pickle(path, n_train=6, n_test=3, min_len=3,
+                               max_len=8, seed=5)
+    train = MELDDataset(path, True).dialogues()
+    test = MELDDataset(path, False).dialogues()
+    cfg = ExperimentConfig(
+        dataset="MELD", epochs=2, batch_size=4, Deep_GCN_nlayers=2,
+        graph_type="GDF", reason_flag=True, class_weight=False,
+        speaker_weights="0.5-0.5-1.5", lr=3e-3, buckets=(8, 16))
+    result = Trainer(cfg).fit(train, test, verbose=False)
+    losses = [h["train_loss"] for h in result.history]
+    assert losses[-1] < losses[0]
+    assert result.state.params["smax_fc"]["kernel"].shape[-1] == 7
