@@ -157,6 +157,10 @@ def main(argv=None) -> int:
         os.makedirs(args.save_model_dir, exist_ok=True)
         np.save(os.path.join(args.save_model_dir, "test_label.npy"), m.labels)
         np.save(os.path.join(args.save_model_dir, "test_pred.npy"), m.preds)
+        # per-layer activation dump (reference model_GCN.py:474-480 behavior)
+        trainer.dump_activations(
+            state, test, os.path.join(args.save_model_dir,
+                                      "test_activations.npz"))
         print(m.report)
         print("test_acc:", m.acc, "test_fscore:", m.fscore)
         return 0

@@ -394,3 +394,29 @@ class Trainer:
                                      cfg.info["n_speakers"], cfg.buckets))
         _, m = self.run_epoch(state, batches, full_report=True)
         return m
+
+    def dump_activations(self, state: TrainState, dialogues,
+                         out_path: str) -> str:
+        """Save every module's intermediate activations for the first eval
+        batch — the build-side equivalent of the reference's ``test_label``
+        per-layer npy dumps (``model_GCN.py:474-480``, ``model.py:1297-1301``).
+
+        Written as one ``.npz`` keyed by flax module path.
+        """
+        cfg = self.cfg
+        batch = next(iter(BucketBatcher(
+            dialogues, cfg.batch_size, cfg.info["n_speakers"], cfg.buckets)))
+        inputs = prepare_inputs(cfg, batch)
+        _, mods = self.model.apply(
+            {"params": state.params}, inputs["text"], inputs["qmask"],
+            inputs["umask"], inputs["audio"], inputs["visual"],
+            deterministic=True, capture_intermediates=True,
+            mutable=["intermediates"])
+        flat = {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                mods["intermediates"]):
+            name = jax.tree_util.keystr(path).strip("[]'").replace(
+                "']['", "/")
+            flat[name] = np.asarray(leaf)
+        np.savez(out_path, **flat)
+        return out_path

@@ -68,6 +68,8 @@ def test_cli_end_to_end(tmp_path):
     preds = np.load(os.path.join(out, "test_pred.npy"))
     labels = np.load(os.path.join(out, "test_label.npy"))
     assert preds.shape == labels.shape and preds.ndim == 1
+    acts = np.load(os.path.join(out, "test_activations.npz"))
+    assert len(acts.files) > 5  # per-module intermediate dumps exist
 
 
 def test_cli_test_label_missing_checkpoint(tmp_path, capsys):
