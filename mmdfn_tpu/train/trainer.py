@@ -244,20 +244,31 @@ class Trainer:
         all_labels, all_preds = [], []
         key = self._epoch_key(epoch)
         meter = ThroughputMeter()
+        meter.start()
+        n_dia_total = n_utt_total = 0
+        # Fully asynchronous dispatch: device_put (H2D) and the jitted steps
+        # are all enqueued without host syncs, so transfers of batch i+1
+        # overlap compute of batch i (H2D is the bottleneck on slow links —
+        # measured 15ms compute vs 1.7s synchronous transfer per flagship
+        # batch over a tunneled chip).  Loss/pred device->host conversion
+        # happens once at epoch end.
         for i, batch in enumerate(batches):
-            n_dia = int((batch.umask.sum(-1) > 0).sum())
-            with meter.step(n_dia, batch.n_valid):
-                inputs = self._put(prepare_inputs(cfg, batch))
-                if train:
-                    state, loss, preds = self._train_step(
-                        state, inputs, jax.random.fold_in(key, i))
-                else:
-                    loss, preds = self._eval_step(state.params, inputs)
-                m = batch.umask.reshape(-1) > 0
-                all_labels.append(batch.label.reshape(-1)[m])
-                all_preds.append(np.asarray(preds).reshape(-1)[m])
-                losses.append(float(loss))  # forces device sync: honest timing
+            n_dia_total += int((batch.umask.sum(-1) > 0).sum())
+            n_utt_total += batch.n_valid
+            inputs = self._put(prepare_inputs(cfg, batch))
+            if train:
+                state, loss, preds = self._train_step(
+                    state, inputs, jax.random.fold_in(key, i))
+            else:
+                loss, preds = self._eval_step(state.params, inputs)
+            m = batch.umask.reshape(-1) > 0
+            all_labels.append(batch.label.reshape(-1)[m])
+            all_preds.append((preds, m))
+            losses.append(loss)
             mask_sums.append(float(m.sum()))
+        losses = [float(l) for l in losses]          # syncs the whole epoch
+        all_preds = [np.asarray(p).reshape(-1)[m] for p, m in all_preds]
+        meter.stop(n_dia_total, n_utt_total)
         if not all_labels:
             nan = float("nan")
             empty = np.zeros((0,), np.int32)
