@@ -106,6 +106,9 @@ class ExperimentConfig:
                                              # (reference run_train_erc.py:164)
     sort_batches_by_length: bool = False
     param_dtype: str = "float32"
+    transfer_dtype: str = "float32"          # 'bfloat16' halves H2D bytes on
+                                             # slow links (features quantized
+                                             # to bf16; compute stays f32)
     log_jsonl: Optional[str] = None
 
     @property

@@ -102,9 +102,11 @@ def prepare_inputs(cfg: ExperimentConfig, batch: Batch) -> Dict[str, jnp.ndarray
             text = np.concatenate(order[cfg.modals], axis=-1)
     else:
         text = {"a": audio, "v": visual, "l": text}[cfg.modals]
+    tdt = jnp.bfloat16 if cfg.transfer_dtype == "bfloat16" else jnp.float32
+    feat = lambda x: jnp.asarray(np.asarray(x, dtype=tdt))
     return dict(
-        text=jnp.asarray(text), audio=jnp.asarray(audio),
-        visual=jnp.asarray(visual), qmask=jnp.asarray(batch.qmask),
+        text=feat(text), audio=feat(audio), visual=feat(visual),
+        qmask=jnp.asarray(batch.qmask),
         umask=jnp.asarray(batch.umask), label=jnp.asarray(batch.label))
 
 
