@@ -109,6 +109,12 @@ class ExperimentConfig:
     transfer_dtype: str = "float32"          # 'bfloat16' halves H2D bytes on
                                              # slow links (features quantized
                                              # to bf16; compute stays f32)
+    matmul_precision: Optional[str] = None   # None = backend default (bf16
+                                             # on TPU); 'float32'/'highest'
+                                             # for strict reference parity.
+                                             # Adjacency cosines are ALWAYS
+                                             # f32 regardless (arccos is
+                                             # ill-conditioned near +/-1).
     log_jsonl: Optional[str] = None
 
     @property

@@ -89,7 +89,10 @@ def intra_modal_similarity(x: jnp.ndarray, umask: jnp.ndarray,
                            variant: str = "angular") -> jnp.ndarray:
     """(B, L, D), (B, L) -> (B, L, L) masked pairwise angular similarity."""
     n = _safe_unit(x)
-    cos = jnp.einsum("bld,bmd->blm", n, n)
+    # HIGHEST precision: on TPU the default bf16 matmul gives ~1e-2 cosine
+    # error, which arccos amplifies near +/-1 (SURVEY.md "hard parts")
+    cos = jnp.einsum("bld,bmd->blm", n, n,
+                     precision=jax.lax.Precision.HIGHEST)
     sim = _SIM[variant](cos)
     m = umask.astype(jnp.float32)
     return sim * (m[:, :, None] * m[:, None, :])
@@ -267,7 +270,8 @@ def window_relation_adjacency(x: jnp.ndarray, umask: jnp.ndarray,
     in_window = jnp.logical_and(dist > 0, dist <= 2 * window)
 
     n = _safe_unit(x)
-    cos = jnp.einsum("bld,bmd->blm", n, n)
+    cos = jnp.einsum("bld,bmd->blm", n, n,
+                     precision=jax.lax.Precision.HIGHEST)
     sim = _SIM[variant](cos)
     m1 = umask.astype(jnp.float32)
     pm = m1[:, :, None] * m1[:, None, :]

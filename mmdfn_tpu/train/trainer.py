@@ -116,6 +116,9 @@ class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        if cfg.matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              cfg.matmul_precision)
         if mesh is not None:
             n_data = mesh.shape[DATA_AXIS]
             if cfg.batch_size % n_data != 0:
