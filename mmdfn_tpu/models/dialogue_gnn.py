@@ -75,6 +75,9 @@ class DialogueGNN(nn.Module):
     max_seq_len: int = MAX_SEQ_LEN
     graph_hidden_size: int = GRAPH_H
     avec: bool = False
+    active_listener: bool = False
+    attention: str = "general"
+    rec_dropout: float = 0.1
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig) -> "DialogueGNN":
@@ -110,6 +113,9 @@ class DialogueGNN(nn.Module):
             window_past=cfg.windowp,
             window_future=cfg.windowf,
             nodal_attention=cfg.nodal_attention,
+            active_listener=cfg.active_listener,
+            attention=cfg.attention,
+            rec_dropout=cfg.rec_dropout,
         )
 
     @property
@@ -186,6 +192,31 @@ class DialogueGNN(nn.Module):
         elif self.base_model == "GRU":
             emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                   name="gru")(text, umask, deterministic)
+        elif self.base_model == "DialogRNN":
+            # single-stream party-state base encoder (model.py:1021-1032);
+            # the multimodal combination is undefined upstream too (the
+            # forward would read never-assigned per-modality emotions)
+            if self.multi_modal:
+                raise NotImplementedError(
+                    "base_model='DialogRNN' is single-stream only (as in "
+                    "the reference)")
+            from mmdfn_tpu.models.baselines import DialogueRNN
+            from mmdfn_tpu.utils.masking import flip_valid
+            fwd = DialogueRNN(self.D_m, D_G, D_P, D_E, self.active_listener,
+                              self.attention, D_A, self.rec_dropout,
+                              name="dialog_rnn_f")
+            emotions_f, _ = fwd(text, qmask, deterministic=deterministic)
+            if self.avec:
+                emotions["u"] = emotions_f
+            else:
+                bwd = DialogueRNN(self.D_m, D_G, D_P, D_E,
+                                  self.active_listener, self.attention,
+                                  D_A, self.rec_dropout, name="dialog_rnn_r")
+                emotions_b, _ = bwd(flip_valid(text, umask),
+                                    flip_valid(qmask, umask),
+                                    deterministic=deterministic)
+                emotions["u"] = jnp.concatenate(
+                    [emotions_f, flip_valid(emotions_b, umask)], axis=-1)
         elif self.base_model == "None":
             if not self.multi_modal:
                 emotions["u"] = TorchDense(2 * D_E, name="base_linear")(text)

@@ -73,6 +73,16 @@ def test_modality_ablations(rng):
 
 
 @pytest.mark.parametrize("graph_type", ["relation", "DeepGCN", "GCN3", "None"])
+def test_dialogrnn_base_single_stream(rng, graph_type):
+    """base_model='DialogRNN' feeds the graph nets (model.py:1021-1032)."""
+    _, _, out = build(rng, base_model="DialogRNN", graph_type=graph_type,
+                      att_type="concat", multi_modal=False, modals="l")
+    assert out.shape == (2, 6, 6)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("graph_type", ["relation", "DeepGCN", "GCN3", "None"])
 def test_single_stream_concat_path(rng, graph_type):
     # mm_fusion_mthd='concat' -> multi_modal False internally; the GDF/GF/GF2
     # families require the multimodal dict (also true upstream, where the
