@@ -117,16 +117,12 @@ def symmetric_normalize(adj: jnp.ndarray, node_mask: Optional[jnp.ndarray] = Non
     """
     d = jnp.sum(adj, axis=-1)
     # double-where: rsqrt must never see 0 or its backward emits inf * 0 = nan
-    dinv = jnp.where(d > 0, jax_rsqrt(jnp.where(d > 0, d, 1.0)), 0.0)
+    dinv = jnp.where(d > 0, jax.lax.rsqrt(jnp.where(d > 0, d, 1.0)), 0.0)
     out = dinv[..., :, None] * adj * dinv[..., None, :]
     if node_mask is not None:
         m = node_mask.astype(adj.dtype)
         out = out * (m[..., :, None] * m[..., None, :])
     return out
-
-
-def jax_rsqrt(x):
-    return x ** -0.5
 
 
 def mm_big_adjacency(feats: Sequence[jnp.ndarray], umask: jnp.ndarray,
@@ -213,15 +209,21 @@ def directed_speaker_adjacency(x: jnp.ndarray, qmask: jnp.ndarray,
 
     Equivalent of ``message_passing_directed_speaker``
     (``model_GCN.py:85-118`` unnormalized / ``model_GCN.py:348-384`` and
-    ``model_mm.py:489-525`` normalized).  The per-speaker "consecutive"
-    relation is recovered from the same stable argsort permutation the CRN
-    encoder uses: for speaker p with ordered positions ``t_0 < t_1 < ...``,
-    edges are ``(t_k, t_{k+1})`` both directions.
+    ``model_mm.py:489-525`` normalized).  All three reference builders
+    partition utterances BINARILY — speaker 0 vs everyone else
+    (``if speaker[0] == 1``), regardless of n_speakers — so two chains are
+    built, not P.  The "consecutive" relation per chain is recovered from
+    the same stable argsort permutation the CRN encoder uses: for chain
+    members at positions ``t_0 < t_1 < ...``, edges are ``(t_k, t_{k+1})``
+    both directions.
     """
-    B, L, P = qmask.shape
+    B, L, _ = qmask.shape
+    P = 2                                                  # binary partition
     t = jnp.arange(L)[None, None, :]
-    is_p = jnp.logical_and(jnp.transpose(qmask, (0, 2, 1)) > 0,
-                           umask[:, None, :] > 0)          # (B, P, L)
+    valid = umask[:, None, :] > 0                          # (B, 1, L)
+    is_spk0 = jnp.logical_and(qmask[:, :, 0][:, None, :] > 0, valid)
+    is_rest = jnp.logical_and(jnp.logical_not(is_spk0), valid)
+    is_p = jnp.concatenate([is_spk0, is_rest], axis=1)     # (B, 2, L)
     key = jnp.where(is_p, t, t + L)
     perm = jnp.argsort(key, axis=-1)                        # (B, P, L)
     counts = jnp.sum(is_p, axis=-1)                         # (B, P)

@@ -309,22 +309,24 @@ class DialogueGNN(nn.Module):
                         gcn_hid_dim=self.graph_hidden_size,
                         num_class=self.n_classes, use_residue=self.use_residue,
                         return_feature=self.multi_modal, name=name)
+                # reference: single-stream GCNII gets the configured
+                # lamda/alpha (model.py:926), the per-modality nets get the
+                # hard-coded 0.5/0.1 (model.py:930-940)
+                lam, alp = ((self.lamda, self.alpha)
+                            if not self.multi_modal else (0.5, 0.1))
                 return DeepGCNII(
                     nfeat=2 * D_E, nlayers=self.deep_gcn_nlayers,
                     nhidden=self.graph_hidden_size, nclass=self.n_classes,
-                    dropout=self.dropout, lamda=0.5, alpha=0.1, variant=True,
+                    dropout=self.dropout, lamda=lam, alpha=alp, variant=True,
                     return_feature=self.multi_modal,
                     use_residue=self.use_residue, reason_flag=self.reason_flag,
                     name=name)
 
-            def run_net(net, x):
-                if self.graph_type == "GCN3":
-                    return net(x, qmask, umask, deterministic=deterministic)
-                return net(x, qmask, umask, deterministic=deterministic)
-
             if not self.multi_modal:
-                return run_net(make_net("graph_net"), emotions["u"])
-            feats = [run_net(make_net(f"graph_net_{m}"), emotions[m])
+                return make_net("graph_net")(
+                    emotions["u"], qmask, umask, deterministic=deterministic)
+            feats = [make_net(f"graph_net_{m}")(
+                         emotions[m], qmask, umask, deterministic=deterministic)
                      for m in "avl" if m in modals]
             feat = self._fuse(feats, modals, deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)

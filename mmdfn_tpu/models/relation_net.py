@@ -32,9 +32,15 @@ from mmdfn_tpu.utils import torch_init
 
 
 class DenseRGCNConv(nn.Module):
-    """Basis-decomposition RGCN layer over dense masked adjacencies
-    (torch-geometric 1.4.3 ``RGCNConv`` semantics: additive aggregation of
-    ``x_src @ W_r * edge_norm``, root weight, bias)."""
+    """Basis-decomposition RGCN layer over dense masked adjacencies.
+
+    torch-geometric 1.4.3 ``RGCNConv`` semantics (the version pinned by the
+    reference's requirements.txt): messages ``x_src @ W_r * edge_norm`` are
+    **mean**-aggregated over each node's incoming edges (the class inits
+    ``MessagePassing`` with ``aggr='mean'``), plus root weight and bias; all
+    parameters init U(-k, k) with ``k = 1/sqrt(num_bases * in_channels)``
+    (its ``reset_parameters`` passes ``size = num_bases * in_channels`` to
+    ``uniform`` for basis/att/root/bias alike)."""
 
     in_features: int
     out_features: int
@@ -43,10 +49,12 @@ class DenseRGCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, edge_weight: jnp.ndarray,
-                 rel_ids: jnp.ndarray) -> jnp.ndarray:
+                 rel_ids: jnp.ndarray, edge_mask: jnp.ndarray) -> jnp.ndarray:
         """x: (B, L, F); edge_weight: (B, L, L) [src, dst] (0 = no edge);
-        rel_ids: (B, L, L) int relation per pair."""
-        bound = 1.0 / (self.in_features ** 0.5)
+        rel_ids: (B, L, L) int relation per pair; edge_mask: (B, L, L) 0/1
+        edge-existence mask (defines the mean denominator, matching the
+        scatter_mean over the COO edge list upstream)."""
+        bound = 1.0 / ((self.num_bases * self.in_features) ** 0.5)
         basis = self.param("basis", torch_init.uniform_by_bound(bound),
                            (self.num_bases, self.in_features, self.out_features))
         comp = self.param("comp", torch_init.uniform_by_bound(bound),
@@ -59,6 +67,8 @@ class DenseRGCNConv(nn.Module):
         hb = jnp.einsum("bsf,Bfo->bBso", x, basis)        # per-basis projections
         coef = comp[rel_ids]                               # (B, L, L, num_bases)
         agg = jnp.einsum("bsd,bsdB,bBso->bdo", edge_weight, coef, hb)
+        deg = jnp.sum(edge_mask, axis=1)                   # in-degree per dst
+        agg = agg / jnp.maximum(deg, 1.0)[..., None]
         return agg + x @ root + bias
 
 
@@ -96,7 +106,8 @@ class GraphNetwork(nn.Module):
                  nodal_attn: bool = True, avec: bool = False,
                  deterministic: bool = True):
         out1 = DenseRGCNConv(self.num_features, self.hidden_size,
-                             self.num_relations, name="conv1")(x, edge_weight, rel_ids)
+                             self.num_relations, name="conv1")(
+            x, edge_weight, rel_ids, edge_mask)
         out1 = DenseGraphConv(self.hidden_size, name="conv2")(out1, edge_mask)
         if self.use_GCN:
             out2 = GCNLayer1(self.hidden_size, new_graph=False, name="conv3")(x, qmask, umask)

@@ -257,10 +257,16 @@ class Trainer:
         # measured 15ms compute vs 1.7s synchronous transfer per flagship
         # batch over a tunneled chip).  Loss/pred device->host conversion
         # happens once at epoch end.
-        for i, batch in enumerate(batches):
+        for i, item in enumerate(batches):
+            # eval splits are prepared+transferred once in fit(); train
+            # batches (reshuffled each epoch) arrive as raw Batch objects
+            if isinstance(item, tuple):
+                batch, inputs = item
+            else:
+                batch = item
+                inputs = self._put(prepare_inputs(cfg, batch))
             n_dia_total += int((batch.umask.sum(-1) > 0).sum())
             n_utt_total += batch.n_valid
-            inputs = self._put(prepare_inputs(cfg, batch))
             if train:
                 state, loss, preds = self._train_step(
                     state, inputs, jax.random.fold_in(key, i))
@@ -308,10 +314,12 @@ class Trainer:
             train_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets,
             shuffle=True, seed=cfg.seed,
             sort_by_length=cfg.sort_batches_by_length)
-        valid_batches = list(BucketBatcher(
-            valid_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets))
-        test_batches = list(BucketBatcher(
-            test_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets))
+        # fixed eval splits: convert + transfer to device ONCE, not per epoch
+        prep = lambda b: (b, self._put(prepare_inputs(cfg, b)))
+        valid_batches = [prep(b) for b in BucketBatcher(
+            valid_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets)]
+        test_batches = [prep(b) for b in BucketBatcher(
+            test_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets)]
         if state is None:
             state = self.init_state()
 
