@@ -72,6 +72,25 @@ def test_modality_ablations(rng):
         assert out.shape == (2, 6, 6)
 
 
+def test_speaker_modal_embedding_flags(rng):
+    """use_speaker adds a speaker embedding to the text modality only;
+    use_modal adds per-modality embeddings (model_mm.py:79-93)."""
+    _, _, out = build(rng, graph_type="GDF", use_speaker=True, use_modal=True)
+    assert out.shape == (2, 6, 6)
+    np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0,
+                               atol=1e-4)
+    # the flags must actually change the function
+    _, _, base = build(rng, graph_type="GDF")
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_av_using_lstm_flag(rng):
+    """--av_using_lstm runs audio/visual through their own bi-GRUs
+    (model.py:1065-1068 vs :853-861)."""
+    _, _, out = build(rng, graph_type="GDF", av_using_lstm=True)
+    assert out.shape == (2, 6, 6)
+
+
 @pytest.mark.parametrize("graph_type", ["relation", "DeepGCN", "GCN3", "None"])
 def test_dialogrnn_base_single_stream(rng, graph_type):
     """base_model='DialogRNN' feeds the graph nets (model.py:1021-1032)."""
