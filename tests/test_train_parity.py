@@ -1,0 +1,150 @@
+"""Training-trajectory parity: our jitted step vs a torch replica.
+
+Forward parity (test_e2e_torch_parity) + Adam bit-parity (test_trainer)
+compose here into the full guarantee: with identical init and no dropout,
+N optimization steps of the flagship MM-DFN produce the same loss trajectory
+and parameters in both frameworks — i.e. gradients through the dynamic
+adjacency (arccos/normalization), the CRN permutation, the GCNII scan, and
+the focal loss (stop-grad pt) all match the reference's autograd.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+import sys
+import os
+sys.path.insert(0, os.path.dirname(__file__))
+from test_e2e_torch_parity import (ALPHA, LAMDA, NLAYERS, SW, big_adj,
+                                   make_torch_gru)
+
+from mmdfn_tpu.config import ExperimentConfig
+from mmdfn_tpu.data.batching import Batch
+from mmdfn_tpu.train import Trainer
+
+L = 6
+STEPS = 3
+LR, L2, GAMMA = 1e-3, 1e-4, 0.5
+
+
+class TorchFlagship(torch.nn.Module):
+    """Trainable torch replica of the flagship GDF eval path (dropout off),
+    initialized from our flax params."""
+
+    def __init__(self, p):
+        super().__init__()
+        t = lambda a: torch.nn.Parameter(torch.tensor(np.asarray(a)))
+        self.w_la, self.b_la = t(p["linear_a"]["kernel"]), t(p["linear_a"]["bias"])
+        self.w_lv, self.b_lv = t(p["linear_v"]["kernel"]), t(p["linear_v"]["bias"])
+        self.w_ll, self.b_ll = t(p["linear_l"]["kernel"]), t(p["linear_l"]["bias"])
+        self.rnn_parties = make_torch_gru(p["rnn_parties"], "rnn_parties",
+                                          200, 100)
+        self.lstm_l = make_torch_gru(p["lstm_l"], "lstm_l", 200, 100)
+        g = p["graph_model"]["graph_net"]
+        self.w_fc, self.b_fc = t(g["fc_in"]["kernel"]), t(g["fc_in"]["bias"])
+        self.conv_w = t(g["conv_w"])
+        self.r_ih, self.r_hh = t(g["reason_w_ih"]), t(g["reason_w_hh"])
+        self.r_bih, self.r_bhh = t(g["reason_b_ih"]), t(g["reason_b_hh"])
+        self.w_out, self.b_out = t(p["smax_fc"]["kernel"]), t(p["smax_fc"]["bias"])
+
+    def crn(self, U, qmask):
+        Lx, H = U.shape
+        U_p = torch.zeros(Lx, H)
+        for pi in range(qmask.shape[-1]):
+            idx = torch.nonzero(qmask[:, pi]).squeeze(-1)
+            if len(idx) == 0:
+                continue
+            out, _ = self.rnn_parties(U[idx][:, None])
+            U_p = U_p.index_put((idx,), out[:, 0])
+        return U_p
+
+    def forward(self, text, audio, visual, qmask):
+        U_a = audio @ self.w_la + self.b_la
+        U_v = visual @ self.w_lv + self.b_lv
+        U_l = text @ self.w_ll + self.b_ll
+        emo_a = U_a + SW[0] * self.crn(U_a, qmask)
+        emo_v = U_v + SW[1] * self.crn(U_v, qmask)
+        emo_l = self.lstm_l(U_l[:, None])[0][:, 0] + SW[2] * self.crn(U_l, qmask)
+
+        adj = big_adj([emo_a, emo_v, emo_l])
+        x = torch.cat([emo_a, emo_v, emo_l], dim=0)
+        h = F.relu(x @ self.w_fc + self.b_fc)
+        h0 = h
+        H = h.shape[-1]
+        lh = torch.zeros_like(h)
+        lc = torch.zeros_like(h)
+        for l in range(self.conv_w.shape[0]):
+            q = h
+            g = h @ self.r_ih + self.r_bih + lh @ self.r_hh + self.r_bhh
+            i, f, gg, o = torch.split(g, H, dim=-1)
+            lc = torch.sigmoid(f) * lc + torch.sigmoid(i) * torch.tanh(gg)
+            lh = torch.sigmoid(o) * torch.tanh(lc)
+            h = lh
+            theta = float(np.log(LAMDA / (l + 1) + 1))
+            hi = adj @ h
+            support = torch.cat([hi, h0], dim=1)
+            r = (1 - ALPHA) * hi + ALPHA * h0
+            h = F.relu(theta * (support @ self.conv_w[l]) + (1 - theta) * r) + q
+        h = torch.cat([x, h], dim=1)                  # use_residue concat
+        N = emo_a.shape[0]
+        feat = torch.cat([h[:N], h[N:2 * N], h[2 * N:]], dim=1)
+        return F.log_softmax(F.relu(feat) @ self.w_out + self.b_out, dim=-1)
+
+
+def focal(logp, target, gamma=GAMMA):
+    logpt = logp.gather(1, target[:, None]).squeeze(1)
+    pt = logpt.detach().exp()
+    return (-((1 - pt) ** gamma) * logpt).mean()
+
+
+def test_training_trajectory_matches_torch(rng):
+    cfg = ExperimentConfig(
+        graph_type="GDF", reason_flag=True, Deep_GCN_nlayers=NLAYERS,
+        dropout=0.0, lr=LR, l2=L2, gamma=GAMMA, class_weight=False,
+        batch_size=1, buckets=(L,), speaker_weights="3-0-1")
+    trainer = Trainer(cfg)
+
+    text = rng.standard_normal((1, L, 100)).astype(np.float32)
+    audio = rng.standard_normal((1, L, 1582)).astype(np.float32)
+    visual = rng.standard_normal((1, L, 342)).astype(np.float32)
+    spk = rng.integers(0, 2, size=L)
+    qmask = np.zeros((1, L, 2), np.float32)
+    qmask[0, np.arange(L), spk] = 1
+    umask = np.ones((1, L), np.float32)
+    label = rng.integers(0, 6, size=(1, L)).astype(np.int32)
+    batch = Batch(text=text, visual=visual, audio=audio, qmask=qmask,
+                  umask=umask, label=label)
+
+    state = trainer.init_state()
+    replica = TorchFlagship(jax.tree_util.tree_map(np.asarray, state.params))
+    opt = torch.optim.Adam(replica.parameters(), lr=LR, weight_decay=L2)
+
+    from mmdfn_tpu.train.trainer import prepare_inputs
+    inputs = prepare_inputs(cfg, batch)
+
+    ours, theirs = [], []
+    tt = torch.tensor(text[0])
+    ta = torch.tensor(audio[0])
+    tv = torch.tensor(visual[0])
+    tq = torch.tensor(qmask[0])
+    ty = torch.tensor(label[0].astype(np.int64))
+    for step in range(STEPS):
+        state, loss, _ = trainer._train_step(state, dict(inputs),
+                                             jax.random.PRNGKey(step))
+        ours.append(float(loss))
+
+        opt.zero_grad()
+        tloss = focal(replica(tt, ta, tv, tq), ty)
+        tloss.backward()
+        opt.step()
+        theirs.append(float(tloss))
+
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4)
+    # spot-check a parameter tensor after training
+    np.testing.assert_allclose(
+        np.asarray(state.params["smax_fc"]["kernel"]),
+        replica.w_out.detach().numpy(), atol=5e-5)
