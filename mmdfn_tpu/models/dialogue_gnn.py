@@ -157,38 +157,49 @@ class DialogueGNN(nn.Module):
                                 cell="gru", dropout=self.dropout,
                                 name="rnn_parties")
 
-                def crn(U_x, weight):
+                proj = {}
+                base = {}
+                if "a" in modals:
+                    proj["a"] = TorchDense(HIDDEN_MODALITY, name="linear_a")(audio)
+                    base["a"] = proj["a"]
+                    if self.av_using_lstm:
+                        base["a"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                          name="lstm_a")(proj["a"], umask,
+                                                         deterministic)
+                if "v" in modals:
+                    proj["v"] = TorchDense(HIDDEN_MODALITY, name="linear_v")(visual)
+                    base["v"] = proj["v"]
+                    if self.av_using_lstm:
+                        base["v"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                          name="lstm_v")(proj["v"], umask,
+                                                         deterministic)
+                if "l" in modals:
+                    proj["l"] = TorchDense(HIDDEN_MODALITY, name="linear_l")(text)
+                    base["l"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                      name="lstm_l")(proj["l"], umask,
+                                                     deterministic)
+
+                if self.use_crn_speaker:
+                    # ONE fused party-GRU scan for all modalities: the CRN
+                    # RNN is shared (reference calls it 3x sequentially,
+                    # model.py:1070-1154) so the modalities stack onto the
+                    # batch axis — identical math, a third of the scans
+                    order = [m for m in "avl" if m in modals]
+                    M = len(order)
+                    stacked = jnp.concatenate([proj[m] for m in order], axis=0)
                     delta = crn_party_delta(
                         lambda x, m, deterministic=True: parties(
                             x, m, deterministic=deterministic),
-                        U_x, qmask, umask, deterministic=deterministic)
-                    return weight * delta
-
-                if "a" in modals:
-                    U_a = TorchDense(HIDDEN_MODALITY, name="linear_a")(audio)
-                    emo_a = U_a
-                    if self.av_using_lstm:
-                        emo_a = BiRNN(D_E, 2, True, "gru", self.dropout,
-                                      name="lstm_a")(U_a, umask, deterministic)
-                    if self.use_crn_speaker:
-                        emo_a = emo_a + crn(U_a, sw[0])
-                    emotions["a"] = emo_a
-                if "v" in modals:
-                    U_v = TorchDense(HIDDEN_MODALITY, name="linear_v")(visual)
-                    emo_v = U_v
-                    if self.av_using_lstm:
-                        emo_v = BiRNN(D_E, 2, True, "gru", self.dropout,
-                                      name="lstm_v")(U_v, umask, deterministic)
-                    if self.use_crn_speaker:
-                        emo_v = emo_v + crn(U_v, sw[1])
-                    emotions["v"] = emo_v
-                if "l" in modals:
-                    U_l = TorchDense(HIDDEN_MODALITY, name="linear_l")(text)
-                    emo_l = BiRNN(D_E, 2, True, "gru", self.dropout,
-                                  name="lstm_l")(U_l, umask, deterministic)
-                    if self.use_crn_speaker:
-                        emo_l = emo_l + crn(U_l, sw[2])
-                    emotions["l"] = emo_l
+                        stacked, jnp.tile(qmask, (M, 1, 1)),
+                        jnp.tile(umask, (M, 1)), deterministic=deterministic)
+                    B = umask.shape[0]
+                    weights = {"a": sw[0], "v": sw[1], "l": sw[2]}
+                    for i, m in enumerate(order):
+                        emotions[m] = (base[m]
+                                       + weights[m] * delta[i * B:(i + 1) * B])
+                else:
+                    for m in modals:
+                        emotions[m] = base[m]
         elif self.base_model == "GRU":
             emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                   name="gru")(text, umask, deterministic)
