@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="write a jax.profiler trace of training to this dir")
     add("--debug_nans", action="store_true", default=False,
         help="fail fast on nan/inf inside jitted steps")
+    add("--resume", action="store_true", default=False,
+        help="continue an interrupted run from save_model_dir's 'last' "
+             "checkpoint (params + optimizer + selection counters)")
     return p
 
 
@@ -178,7 +181,8 @@ def main(argv=None) -> int:
     with trace(args.profile_dir):
         result = trainer.fit(train, test, valid_dialogues=valid, state=state,
                              verbose=True, log_path=cfg.log_jsonl,
-                             save_dir=args.save_model_dir)
+                             save_dir=args.save_model_dir,
+                             resume=args.resume)
 
     if args.tensorboard:
         try:

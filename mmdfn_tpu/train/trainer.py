@@ -306,8 +306,15 @@ class Trainer:
     def fit(self, train_dialogues, test_dialogues, valid_dialogues=(),
             state: Optional[TrainState] = None, verbose: bool = True,
             log_path: Optional[str] = None,
-            save_dir: Optional[str] = None) -> FitResult:
-        """Full training run with the reference's selection/early-stop rules."""
+            save_dir: Optional[str] = None,
+            resume: bool = False) -> FitResult:
+        """Full training run with the reference's selection/early-stop rules.
+
+        ``resume=True`` restores the per-epoch 'last' checkpoint from
+        ``save_dir`` (params + opt state + selection counters) and continues
+        from the next epoch — preemption recovery the reference lacks
+        (SURVEY.md §5.3/§5.4).
+        """
         cfg = self.cfg
         info = cfg.info
         train_batcher = BucketBatcher(
@@ -330,9 +337,31 @@ class Trainer:
         all_test_acc: List[float] = []
         history: List[Dict] = []
         best_state = state
+        start_epoch = 0
+        if resume and save_dir and ckpt_lib.has_checkpoint(save_dir,
+                                                           name="last"):
+            state, meta = ckpt_lib.restore_checkpoint(save_dir, state,
+                                                      name="last")
+            r = meta.get("resume", {})
+            start_epoch = int(r.get("epoch", -1)) + 1
+            best_epoch = int(r.get("best_epoch", -1))
+            best_eval_fscore = r.get("best_eval_fscore")
+            best_eval_loss = r.get("best_eval_loss")
+            best_epoch2 = int(r.get("best_epoch2", -1))
+            patience = int(r.get("patience", 0))
+            patience2 = int(r.get("patience2", 0))
+            all_test_fscore = list(r.get("all_test_fscore", []))
+            all_test_acc = list(r.get("all_test_acc", []))
+            history = list(r.get("history", []))
+            if ckpt_lib.has_checkpoint(save_dir, name="best"):
+                best_state, _ = ckpt_lib.restore_checkpoint(
+                    save_dir, self.init_state(), name="best")
+            if verbose:
+                print(f"resumed from epoch {start_epoch - 1} "
+                      f"(best_epoch={best_epoch})")
         log_f = open(log_path, "a") if log_path else None
 
-        for e in range(cfg.epochs):
+        for e in range(start_epoch, cfg.epochs):
             t0 = time.time()
             state, tr = self.run_epoch(state, list(train_batcher.epoch(e)),
                                        train=True, epoch=e)
@@ -388,6 +417,18 @@ class Trainer:
             if log_f:
                 log_f.write(json.dumps(row) + "\n")
                 log_f.flush()
+            if save_dir:
+                ckpt_lib.save_checkpoint(
+                    save_dir, state, name="last",
+                    meta=dict(resume=dict(
+                        epoch=e, best_epoch=best_epoch,
+                        best_eval_fscore=best_eval_fscore,
+                        best_eval_loss=(None if best_eval_loss is None
+                                        else float(best_eval_loss)),
+                        best_epoch2=best_epoch2, patience=patience,
+                        patience2=patience2,
+                        all_test_fscore=all_test_fscore,
+                        all_test_acc=all_test_acc, history=history)))
             if patience >= cfg.patience and patience2 >= cfg.patience:
                 if verbose:
                     print("Early stoping...", patience, patience2)

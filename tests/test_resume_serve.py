@@ -1,0 +1,76 @@
+"""Preemption resume parity + streaming serve CLI smoke test."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from mmdfn_tpu.config import ExperimentConfig
+from mmdfn_tpu.data.datasets import IEMOCAPDataset
+from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+from mmdfn_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("r") / "iem.pkl")
+    make_synthetic_iemocap_pickle(path, n_train=6, n_test=3, min_len=4,
+                                  max_len=8, seed=8)
+    return (IEMOCAPDataset(path, True).dialogues(),
+            IEMOCAPDataset(path, False).dialogues())
+
+
+def cfg(**over):
+    base = dict(epochs=4, batch_size=4, Deep_GCN_nlayers=2, graph_type="GDF",
+                reason_flag=True, lr=3e-3, buckets=(8,), seed=2021)
+    base.update(over)
+    return ExperimentConfig(**base)
+
+
+def test_resume_reproduces_straight_run(data, tmp_path):
+    """2 epochs + kill + resume 2 epochs == 4 straight epochs, exactly."""
+    train, test = data
+
+    straight = Trainer(cfg()).fit(train, test, verbose=False)
+
+    d = str(tmp_path / "ck")
+    Trainer(cfg(epochs=2)).fit(train, test, verbose=False, save_dir=d)
+    resumed = Trainer(cfg(epochs=4)).fit(train, test, verbose=False,
+                                         save_dir=d, resume=True)
+
+    assert resumed.all_test_fscore == straight.all_test_fscore
+    assert resumed.best_epoch == straight.best_epoch
+    assert [h["train_loss"] for h in resumed.history] == \
+           [h["train_loss"] for h in straight.history]
+
+
+def test_serve_cli_stdio(data, tmp_path, monkeypatch, capsys):
+    train, test = data
+    d = str(tmp_path / "ck")
+    Trainer(cfg(epochs=1)).fit(train, test, verbose=False, save_dir=d)
+
+    dia = test[0]
+    lines = []
+    for t in range(2):
+        lines.append(json.dumps(dict(
+            text=dia.text[t].tolist(), audio=dia.audio[t].tolist(),
+            visual=dia.visual[t].tolist(),
+            speaker=int(np.argmax(dia.qmask[t])))))
+    lines.append(json.dumps({"reset": True}))
+    lines.append(lines[0])
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+
+    from mmdfn_tpu.cli import serve
+    rc = serve.main(["--dataset", "IEMOCAP", "--load_model", d,
+                     "--Deep_GCN_nlayers", "2", "--buckets", "4,8",
+                     "--no-warmup"])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    preds = [o for o in out if "pred" in o]
+    assert len(preds) == 3
+    assert all(0 <= o["pred"] < 6 and len(o["log_probs"]) == 6
+               for o in preds)
+    # after reset, the first utterance's prediction must be identical
+    np.testing.assert_allclose(preds[0]["log_probs"], preds[2]["log_probs"])
+    assert any(o.get("reset") for o in out)
