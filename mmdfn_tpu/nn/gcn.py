@@ -148,7 +148,7 @@ class GCNIIStack(nn.Module):
             return (h, state), None
 
         (h, _), _ = jax.lax.scan(
-            body, (h, (zeros, zeros)), (W, theta, layer_keys))
+            body, (h, (zeros, zeros)), (W, theta, layer_keys), unroll=2)
 
         if self.post_loop_dropout and use_dropout:
             h = _dropout(h, keys[-3], self.dropout)

@@ -57,7 +57,8 @@ def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1))
+    h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1),
+                               unroll=8)
     return jnp.swapaxes(ys, 0, 1), h_last
 
 
@@ -77,7 +78,8 @@ def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
         h_new = o * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
-    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xg, 0, 1))
+    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xg, 0, 1),
+                                        unroll=8)
     return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
 
 
