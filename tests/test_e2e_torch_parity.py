@@ -152,18 +152,33 @@ def torch_flagship(params, text, audio, visual, qmask):
     return F.log_softmax(logits, dim=-1)
 
 
-def test_flagship_forward_matches_torch_oracle(rng):
+@pytest.mark.parametrize("n_speakers,n_classes,sw", [
+    (2, 6, "3-0-1"),          # IEMOCAP flagship
+    (9, 7, "0.5-0.5-1.5"),    # MELD flagship (run_train_me.sh weights)
+])
+def test_flagship_forward_matches_torch_oracle(rng, n_speakers, n_classes,
+                                               sw):
+    global SW
+    sw_list = tuple(float(v) for v in sw.split("-"))
+    old_sw, SW = SW, sw_list
+    try:
+        _run_forward_parity(rng, n_speakers, n_classes, sw)
+    finally:
+        SW = old_sw
+
+
+def _run_forward_parity(rng, n_speakers, n_classes, sw):
     model = DialogueGNN(
-        base_model="LSTM", D_m=100, D_m_a=1582, D_m_v=342, n_speakers=2,
-        n_classes=6, dropout=0.4, graph_type="GDF", reason_flag=True,
-        deep_gcn_nlayers=NLAYERS, use_crn_speaker=True,
-        speaker_weights="3-0-1", alpha=ALPHA, lamda=LAMDA)
+        base_model="LSTM", D_m=100, D_m_a=1582, D_m_v=342,
+        n_speakers=n_speakers, n_classes=n_classes, dropout=0.4,
+        graph_type="GDF", reason_flag=True, deep_gcn_nlayers=NLAYERS,
+        use_crn_speaker=True, speaker_weights=sw, alpha=ALPHA, lamda=LAMDA)
 
     text = rng.standard_normal((1, L, 100)).astype(np.float32)
     audio = rng.standard_normal((1, L, 1582)).astype(np.float32)
     visual = rng.standard_normal((1, L, 342)).astype(np.float32)
-    spk = rng.integers(0, 2, size=L)
-    qmask = np.zeros((1, L, 2), np.float32)
+    spk = rng.integers(0, n_speakers, size=L)
+    qmask = np.zeros((1, L, n_speakers), np.float32)
     qmask[0, np.arange(L), spk] = 1
     umask = np.ones((1, L), np.float32)
 
