@@ -25,16 +25,13 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="IEMOCAP")
     ap.add_argument("--load_model", type=str, required=True)
-    ap.add_argument("--graph_type", default="GDF")
-    ap.add_argument("--Deep_GCN_nlayers", type=int, default=16)
-    ap.add_argument("--reason_flag", action="store_true", default=True)
-    ap.add_argument("--speaker_weights", type=str, default="3-0-1")
     ap.add_argument("--buckets", type=str, default="8,16,32,64,128,200")
     ap.add_argument("--warmup", action="store_true", default=True)
     ap.add_argument("--no-warmup", dest="warmup", action="store_false")
     args = ap.parse_args(argv)
+
+    import dataclasses
 
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.runtime import checkpoint as ckpt_lib
@@ -43,14 +40,24 @@ def main(argv=None) -> int:
     from mmdfn_tpu.train import Trainer
 
     enable_compilation_cache()
-    cfg = ExperimentConfig(
-        dataset=args.dataset, graph_type=args.graph_type,
-        Deep_GCN_nlayers=args.Deep_GCN_nlayers, reason_flag=args.reason_flag,
-        speaker_weights=args.speaker_weights)
-    trainer = Trainer(cfg)
     if not ckpt_lib.has_checkpoint(args.load_model):
         print(f"no checkpoint under {args.load_model!r}", file=sys.stderr)
         return 1
+    # the model config is the one the checkpoint was TRAINED with — stored
+    # in its meta.json by Trainer.fit; rebuilding it from CLI flags would
+    # silently mis-serve (wrong speaker weights) or crash on param-structure
+    # mismatches (reason_flag, base_model, ...)
+    meta = ckpt_lib.read_meta(args.load_model)
+    saved = meta.get("config")
+    if not saved:
+        print("checkpoint has no config metadata; cannot reconstruct the "
+              "training configuration", file=sys.stderr)
+        return 1
+    fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    saved = {k: (tuple(v) if isinstance(v, list) else v)
+             for k, v in saved.items() if k in fields}
+    cfg = ExperimentConfig(**saved)
+    trainer = Trainer(cfg)
     state, meta = ckpt_lib.restore_checkpoint(args.load_model,
                                               trainer.init_state())
     names = cfg.info["target_names"]

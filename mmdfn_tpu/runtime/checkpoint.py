@@ -65,3 +65,13 @@ def restore_checkpoint(directory: str, target: Any,
 
 def has_checkpoint(directory: str, name: str = "best") -> bool:
     return os.path.exists(os.path.join(directory, name, "state.msgpack"))
+
+
+def read_meta(directory: str, name: str = "best") -> Dict:
+    """Read a checkpoint's metadata without restoring the state (needed to
+    reconstruct the model config before a template state can be built)."""
+    path = os.path.join(directory, name, "meta.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)

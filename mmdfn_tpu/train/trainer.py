@@ -338,6 +338,10 @@ class Trainer:
         history: List[Dict] = []
         best_state = state
         start_epoch = 0
+        if resume and not (save_dir and ckpt_lib.has_checkpoint(
+                save_dir, name="last")):
+            print("resume requested but no 'last' checkpoint under "
+                  f"{save_dir!r} — starting fresh")
         if resume and save_dir and ckpt_lib.has_checkpoint(save_dir,
                                                            name="last"):
             state, meta = ckpt_lib.restore_checkpoint(save_dir, state,
@@ -356,6 +360,9 @@ class Trainer:
             if ckpt_lib.has_checkpoint(save_dir, name="best"):
                 best_state, _ = ckpt_lib.restore_checkpoint(
                     save_dir, self.init_state(), name="best")
+            if patience >= cfg.patience and patience2 >= cfg.patience:
+                # the run had already early-stopped; don't train further
+                start_epoch = cfg.epochs
             if verbose:
                 print(f"resumed from epoch {start_epoch - 1} "
                       f"(best_epoch={best_epoch})")

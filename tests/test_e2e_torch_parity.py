@@ -48,9 +48,15 @@ def make_torch_gru(p, prefix, in_dim, H, layers=2):
     return gru
 
 
+def _t(a):
+    """Pass torch tensors through; convert jax/numpy leaves.  Lets the same
+    oracle helpers serve both the fixed-weight forward-parity test and the
+    trainable replica in test_train_parity (whose leaves are Parameters)."""
+    return a if isinstance(a, torch.Tensor) else torch.tensor(np.asarray(a))
+
+
 def linear(p):
-    w = torch.tensor(np.asarray(p["kernel"]))
-    b = torch.tensor(np.asarray(p["bias"]))
+    w, b = _t(p["kernel"]), _t(p["bias"])
     return lambda x: x @ w + b
 
 
@@ -104,11 +110,11 @@ def gcnii_lyc(p, x, adj):
     fc = linear(p["fc_in"])
     h = F.relu(fc(x))
     h0 = h
-    W = torch.tensor(np.asarray(p["conv_w"]))
-    w_ih = torch.tensor(np.asarray(p["reason_w_ih"]))
-    w_hh = torch.tensor(np.asarray(p["reason_w_hh"]))
-    b_ih = torch.tensor(np.asarray(p["reason_b_ih"]))
-    b_hh = torch.tensor(np.asarray(p["reason_b_hh"]))
+    W = _t(p["conv_w"])
+    w_ih = _t(p["reason_w_ih"])
+    w_hh = _t(p["reason_w_hh"])
+    b_ih = _t(p["reason_b_ih"])
+    b_hh = _t(p["reason_b_hh"])
     H = h.shape[-1]
     lh = torch.zeros_like(h)
     lc = torch.zeros_like(h)

@@ -45,6 +45,30 @@ def test_resume_reproduces_straight_run(data, tmp_path):
            [h["train_loss"] for h in straight.history]
 
 
+def test_resume_after_early_stop_is_noop(data, tmp_path):
+    """Resuming a run that already early-stopped must not train further."""
+    train, test = data
+    d = str(tmp_path / "ck")
+    first = Trainer(cfg(epochs=6, patience=0)).fit(
+        train, test, verbose=False, save_dir=d)
+    assert len(first.history) < 6          # early stop fired
+    resumed = Trainer(cfg(epochs=6, patience=0)).fit(
+        train, test, verbose=False, save_dir=d, resume=True)
+    assert len(resumed.history) == len(first.history)
+    assert resumed.all_test_fscore == first.all_test_fscore
+    assert resumed.best_epoch == first.best_epoch
+
+
+def test_resume_without_checkpoint_warns_and_starts_fresh(data, tmp_path,
+                                                          capsys):
+    train, test = data
+    result = Trainer(cfg(epochs=1)).fit(
+        train, test, verbose=False, save_dir=str(tmp_path / "nope"),
+        resume=True)
+    assert "starting fresh" in capsys.readouterr().out
+    assert len(result.history) == 1
+
+
 def test_serve_cli_stdio(data, tmp_path, monkeypatch, capsys):
     train, test = data
     d = str(tmp_path / "ck")
@@ -62,9 +86,9 @@ def test_serve_cli_stdio(data, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
 
     from mmdfn_tpu.cli import serve
-    rc = serve.main(["--dataset", "IEMOCAP", "--load_model", d,
-                     "--Deep_GCN_nlayers", "2", "--buckets", "4,8",
-                     "--no-warmup"])
+    # config (nlayers, reason_flag, speaker weights, ...) is reconstructed
+    # from the checkpoint's stored training config, not CLI flags
+    rc = serve.main(["--load_model", d, "--buckets", "4,8", "--no-warmup"])
     assert rc == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     preds = [o for o in out if "pred" in o]

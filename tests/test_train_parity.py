@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import sys
 import os
 sys.path.insert(0, os.path.dirname(__file__))
-from test_e2e_torch_parity import (ALPHA, LAMDA, NLAYERS, SW, big_adj,
-                                   make_torch_gru)
+from test_e2e_torch_parity import (ALPHA, LAMDA, NLAYERS, SW, big_adj, crn,
+                                   gcnii_lyc, linear, make_torch_gru)
 
 from mmdfn_tpu.config import ExperimentConfig
 from mmdfn_tpu.data.batching import Batch
@@ -51,48 +51,29 @@ class TorchFlagship(torch.nn.Module):
         self.r_bih, self.r_bhh = t(g["reason_b_ih"]), t(g["reason_b_hh"])
         self.w_out, self.b_out = t(p["smax_fc"]["kernel"]), t(p["smax_fc"]["bias"])
 
-    def crn(self, U, qmask):
-        Lx, H = U.shape
-        U_p = torch.zeros(Lx, H)
-        for pi in range(qmask.shape[-1]):
-            idx = torch.nonzero(qmask[:, pi]).squeeze(-1)
-            if len(idx) == 0:
-                continue
-            out, _ = self.rnn_parties(U[idx][:, None])
-            U_p = U_p.index_put((idx,), out[:, 0])
-        return U_p
-
     def forward(self, text, audio, visual, qmask):
-        U_a = audio @ self.w_la + self.b_la
-        U_v = visual @ self.w_lv + self.b_lv
-        U_l = text @ self.w_ll + self.b_ll
-        emo_a = U_a + SW[0] * self.crn(U_a, qmask)
-        emo_v = U_v + SW[1] * self.crn(U_v, qmask)
-        emo_l = self.lstm_l(U_l[:, None])[0][:, 0] + SW[2] * self.crn(U_l, qmask)
+        # reuse the shared oracle helpers from test_e2e_torch_parity (they
+        # pass torch Parameters straight through), so there is exactly ONE
+        # encoding of the reference semantics across both parity tests
+        U_a = linear(dict(kernel=self.w_la, bias=self.b_la))(audio)
+        U_v = linear(dict(kernel=self.w_lv, bias=self.b_lv))(visual)
+        U_l = linear(dict(kernel=self.w_ll, bias=self.b_ll))(text)
+        emo_a = U_a + SW[0] * crn(self.rnn_parties, U_a, qmask)
+        emo_v = U_v + SW[1] * crn(self.rnn_parties, U_v, qmask)
+        emo_l = (self.lstm_l(U_l[:, None])[0][:, 0]
+                 + SW[2] * crn(self.rnn_parties, U_l, qmask))
 
         adj = big_adj([emo_a, emo_v, emo_l])
         x = torch.cat([emo_a, emo_v, emo_l], dim=0)
-        h = F.relu(x @ self.w_fc + self.b_fc)
-        h0 = h
-        H = h.shape[-1]
-        lh = torch.zeros_like(h)
-        lc = torch.zeros_like(h)
-        for l in range(self.conv_w.shape[0]):
-            q = h
-            g = h @ self.r_ih + self.r_bih + lh @ self.r_hh + self.r_bhh
-            i, f, gg, o = torch.split(g, H, dim=-1)
-            lc = torch.sigmoid(f) * lc + torch.sigmoid(i) * torch.tanh(gg)
-            lh = torch.sigmoid(o) * torch.tanh(lc)
-            h = lh
-            theta = float(np.log(LAMDA / (l + 1) + 1))
-            hi = adj @ h
-            support = torch.cat([hi, h0], dim=1)
-            r = (1 - ALPHA) * hi + ALPHA * h0
-            h = F.relu(theta * (support @ self.conv_w[l]) + (1 - theta) * r) + q
-        h = torch.cat([x, h], dim=1)                  # use_residue concat
+        g = dict(fc_in=dict(kernel=self.w_fc, bias=self.b_fc),
+                 conv_w=self.conv_w, reason_w_ih=self.r_ih,
+                 reason_w_hh=self.r_hh, reason_b_ih=self.r_bih,
+                 reason_b_hh=self.r_bhh)
+        h = gcnii_lyc(g, x, adj)
         N = emo_a.shape[0]
         feat = torch.cat([h[:N], h[N:2 * N], h[2 * N:]], dim=1)
-        return F.log_softmax(F.relu(feat) @ self.w_out + self.b_out, dim=-1)
+        out = linear(dict(kernel=self.w_out, bias=self.b_out))(F.relu(feat))
+        return F.log_softmax(out, dim=-1)
 
 
 def focal(logp, target, gamma=GAMMA):
