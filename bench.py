@@ -69,8 +69,18 @@ def main():
     state, loss, _ = trainer._train_step(state, batches[0], key)
     jax.block_until_ready(loss)
 
-    # best-of-3 timing windows: the chip is reached over a shared tunnel and
-    # single-window readings can be inflated several-fold by link contention
+    # reference timing with per-step blocking (immune to async anomalies)
+    blocked = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, loss, _ = trainer._train_step(
+            state, batches[i % len(batches)], jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(loss)
+        blocked.append(time.perf_counter() - t0)
+    blocked_dt = sorted(blocked)[len(blocked) // 2]
+
+    # best-of-3 pipelined windows: the chip is reached over a shared tunnel
+    # and single-window readings can be inflated several-fold by contention
     best_dt = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
@@ -79,9 +89,14 @@ def main():
                 state, batches[i % len(batches)],
                 jax.random.fold_in(key, w * STEPS + i))
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        best_dt = min(best_dt, (time.perf_counter() - t0) / STEPS)
 
-    dps = STEPS * BATCH / best_dt
+    # plausibility guard: per-step blocking pays a full tunnel round-trip
+    # (~30ms) that pipelining legitimately amortizes (3-4x), but a reading
+    # >8x faster than the blocked step is an async/tunnel artifact (a 40x
+    # ghost reading was observed once) — fall back to the blocked number
+    dt = best_dt if best_dt > blocked_dt / 8 else blocked_dt
+    dps = BATCH / dt
     print(json.dumps({
         "metric": "MM-DFN flagship train dialogues/sec "
                   f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers, "
