@@ -8,9 +8,12 @@ A line ``{"reset": true}`` starts a new dialogue.  ``--warmup`` pre-compiles
 every bucket before reading input so first-utterance latency is pure
 compute.
 
+The model configuration (dataset, graph type, layer count, ...) is
+reconstructed from the checkpoint's stored training config.
+
 Example:
   python -m mmdfn_tpu.cli.serve --load_model outputs/iemocap_demo \
-      --dataset IEMOCAP < utterances.jsonl
+      < utterances.jsonl
 """
 
 from __future__ import annotations
@@ -58,8 +61,8 @@ def main(argv=None) -> int:
              for k, v in saved.items() if k in fields}
     cfg = ExperimentConfig(**saved)
     trainer = Trainer(cfg)
-    state, meta = ckpt_lib.restore_checkpoint(args.load_model,
-                                              trainer.init_state())
+    state, _ = ckpt_lib.restore_checkpoint(args.load_model,
+                                           trainer.init_state())
     names = cfg.info["target_names"]
     buckets = tuple(int(b) for b in args.buckets.split(","))
     session = StreamingSession(trainer, state, buckets=buckets)
@@ -74,22 +77,29 @@ def main(argv=None) -> int:
         line = line.strip()
         if not line:
             continue
-        msg = json.loads(line)
-        if msg.get("reset"):
-            session.reset()
-            print(json.dumps({"reset": True}), flush=True)
-            continue
-        t0 = time.perf_counter()
-        pred, logp = session.append(
-            np.asarray(msg["text"], np.float32),
-            np.asarray(msg["audio"], np.float32),
-            np.asarray(msg["visual"], np.float32),
-            int(msg.get("speaker", 0)))
-        print(json.dumps({
-            "pred": pred, "label": names[pred],
-            "log_probs": [round(float(v), 4) for v in logp],
-            "latency_ms": round((time.perf_counter() - t0) * 1e3, 2)}),
-            flush=True)
+        # per-request isolation: a malformed line, an out-of-range speaker,
+        # or a dialogue overflowing the largest bucket must produce an error
+        # response, not kill the server
+        try:
+            msg = json.loads(line)
+            if msg.get("reset"):
+                session.reset()
+                print(json.dumps({"reset": True}), flush=True)
+                continue
+            t0 = time.perf_counter()
+            pred, logp = session.append(
+                np.asarray(msg["text"], np.float32),
+                np.asarray(msg["audio"], np.float32),
+                np.asarray(msg["visual"], np.float32),
+                int(msg.get("speaker", 0)))
+            print(json.dumps({
+                "pred": pred, "label": names[pred],
+                "log_probs": [round(float(v), 4) for v in logp],
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2)}),
+                flush=True)
+        except Exception as e:                       # noqa: BLE001
+            print(json.dumps({"error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
     return 0
 
 

@@ -55,12 +55,7 @@ def restore_checkpoint(directory: str, target: Any,
     path = os.path.join(directory, name)
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         state = serialization.from_bytes(target, f.read())
-    meta_path = os.path.join(path, "meta.json")
-    meta: Dict = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return state, meta
+    return state, read_meta(directory, name)
 
 
 def has_checkpoint(directory: str, name: str = "best") -> bool:

@@ -53,7 +53,10 @@ class StreamingSession:
         cfg = trainer.cfg
         info = cfg.info
         self.trainer = trainer
-        self.params = state.params
+        # commit params to device ONCE: checkpoint restore yields host numpy
+        # leaves, and uncommitted numpy args would re-upload every weight on
+        # every append (tens of MB per utterance over a slow link)
+        self.params = jax.device_put(state.params)
         self.buckets = tuple(buckets)
         self.n_speakers = info["n_speakers"]
         self._dims = (info["D_text"], info["D_audio"], info["D_visual"])
@@ -80,10 +83,8 @@ class StreamingSession:
                 bufs["visual"][:, :L], deterministic=True)
             return bufs, logp[0, t]
 
-        import functools
         self._append_predict = jax.jit(
-            functools.partial(append_predict),
-            static_argnames=("L",), donate_argnums=(1,))
+            append_predict, static_argnames=("L",), donate_argnums=(1,))
 
     def _zero_bufs(self):
         D_t, D_a, D_v = self._dims
@@ -108,6 +109,10 @@ class StreamingSession:
         t = self.t
         if t >= self._Lmax:
             raise ValueError("dialogue exceeds the largest bucket")
+        if not 0 <= speaker < self.n_speakers:
+            # jax.nn.one_hot would silently emit an all-zero speaker row
+            raise ValueError(f"speaker {speaker} out of range "
+                             f"[0, {self.n_speakers})")
         L = bucket_length(t + 1, self.buckets)
         self._bufs, logp = self._append_predict(
             self.params, self._bufs, jnp.asarray(text, jnp.float32),

@@ -338,12 +338,29 @@ class Trainer:
         history: List[Dict] = []
         best_state = state
         start_epoch = 0
-        if resume and not (save_dir and ckpt_lib.has_checkpoint(
-                save_dir, name="last")):
+        can_resume = bool(resume and save_dir
+                          and ckpt_lib.has_checkpoint(save_dir, name="last"))
+        if resume and not can_resume:
             print("resume requested but no 'last' checkpoint under "
                   f"{save_dir!r} — starting fresh")
-        if resume and save_dir and ckpt_lib.has_checkpoint(save_dir,
-                                                           name="last"):
+        if can_resume:
+            # refuse to continue under a different configuration: silently
+            # training restored params with new hyperparameters is neither
+            # the old run nor a fresh one (epochs may grow; runtime-only
+            # fields are exempt)
+            saved_cfg = ckpt_lib.read_meta(save_dir, "last").get("config")
+            if saved_cfg:
+                exempt = {"epochs", "log_jsonl", "save_model_dir",
+                          "test_label", "load_model", "tensorboard"}
+                now = dataclasses.asdict(cfg)
+                diff = {k for k, v in saved_cfg.items()
+                        if k in now and k not in exempt
+                        and (tuple(v) if isinstance(v, list) else v) != now[k]}
+                if diff:
+                    raise ValueError(
+                        "resume config mismatch on fields "
+                        f"{sorted(diff)}; restart fresh or restore the "
+                        "original flags")
             state, meta = ckpt_lib.restore_checkpoint(save_dir, state,
                                                       name="last")
             r = meta.get("resume", {})
@@ -427,7 +444,7 @@ class Trainer:
             if save_dir:
                 ckpt_lib.save_checkpoint(
                     save_dir, state, name="last",
-                    meta=dict(resume=dict(
+                    meta=dict(config=dataclasses.asdict(cfg), resume=dict(
                         epoch=e, best_epoch=best_epoch,
                         best_eval_fscore=best_eval_fscore,
                         best_eval_loss=(None if best_eval_loss is None

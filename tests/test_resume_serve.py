@@ -69,6 +69,43 @@ def test_resume_without_checkpoint_warns_and_starts_fresh(data, tmp_path,
     assert len(result.history) == 1
 
 
+def test_resume_config_mismatch_raises(data, tmp_path):
+    train, test = data
+    d = str(tmp_path / "ck")
+    Trainer(cfg(epochs=1)).fit(train, test, verbose=False, save_dir=d)
+    with pytest.raises(ValueError, match="resume config mismatch.*lr"):
+        Trainer(cfg(epochs=2, lr=1e-4)).fit(train, test, verbose=False,
+                                            save_dir=d, resume=True)
+    # growing epochs alone is the legitimate resume use case
+    Trainer(cfg(epochs=2)).fit(train, test, verbose=False, save_dir=d,
+                               resume=True)
+
+
+def test_serve_cli_error_isolation(data, tmp_path, monkeypatch, capsys):
+    """Bad requests produce error lines; the server keeps running."""
+    train, test = data
+    d = str(tmp_path / "ck")
+    Trainer(cfg(epochs=1)).fit(train, test, verbose=False, save_dir=d)
+    dia = test[0]
+    good = json.dumps(dict(
+        text=dia.text[0].tolist(), audio=dia.audio[0].tolist(),
+        visual=dia.visual[0].tolist(), speaker=0))
+    bad_speaker = json.dumps(dict(
+        text=dia.text[0].tolist(), audio=dia.audio[0].tolist(),
+        visual=dia.visual[0].tolist(), speaker=7))
+    lines = ["{not json", bad_speaker, good]
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+
+    from mmdfn_tpu.cli import serve
+    rc = serve.main(["--load_model", d, "--buckets", "4,8", "--no-warmup"])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    errors = [o for o in out if "error" in o]
+    preds = [o for o in out if "pred" in o]
+    assert len(errors) == 2 and len(preds) == 1
+    assert "speaker" in errors[1]["error"]
+
+
 def test_serve_cli_stdio(data, tmp_path, monkeypatch, capsys):
     train, test = data
     d = str(tmp_path / "ck")
