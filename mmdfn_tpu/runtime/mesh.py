@@ -40,7 +40,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh needs n_data*n_model={need} devices, found {len(devices)}; "
+            f"on CPU set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{need} (before jax initializes) for a virtual mesh")
+    use = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(use, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -53,3 +53,9 @@ def test_sharded_spmm_under_jit(rng, mesh):
     f = jax.jit(lambda a, x: sharded_spmm(mesh, a, x))
     np.testing.assert_allclose(np.asarray(f(jnp.array(adj), jnp.array(h))),
                                adj @ h, atol=1e-4)
+
+
+def test_make_mesh_rejects_too_few_devices():
+    devs = jax.devices()[:2]
+    with pytest.raises(ValueError, match=r"n_data\*n_model=8 devices, found 2"):
+        make_mesh(n_data=4, n_model=2, devices=devs)
