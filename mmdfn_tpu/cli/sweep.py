@@ -124,8 +124,10 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(base, **combo)
         t0 = time.time()
         trainer = Trainer(cfg)
+        # resume=True: a preempted combo continues from its 'last'
+        # checkpoint instead of restarting at epoch 0
         result = trainer.fit(train, test, valid_dialogues=valid,
-                             verbose=False, save_dir=save_dir)
+                             verbose=False, save_dir=save_dir, resume=True)
         row = dict(tag=tag, **combo,
                    best_epoch=result.best_epoch,
                    best_test_fscore=result.best_test_fscore,

@@ -87,6 +87,17 @@ def pack_f32(arrs: List[np.ndarray], B: int, L: int, D: int) -> Optional[np.ndar
         return None
     n = len(arrs)
     arrs = [np.ascontiguousarray(a, dtype=np.float32) for a in arrs]
+    # Mirror the numpy path's errors before handing raw pointers to memcpy:
+    # an oversize dialogue or dim mismatch must raise, not corrupt the heap.
+    for i, a in enumerate(arrs):
+        if a.ndim != 2 or a.shape[1] != D:
+            raise ValueError(f"pack_f32: arrs[{i}] has shape {a.shape}, "
+                             f"expected (len<={L}, {D})")
+        if a.shape[0] > L:
+            raise ValueError(f"pack_f32: arrs[{i}] length {a.shape[0]} "
+                             f"exceeds bucket L={L}")
+    if n > B:
+        raise ValueError(f"pack_f32: {n} dialogues exceed batch B={B}")
     ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs])
     lens = (ctypes.c_int32 * n)(*[a.shape[0] for a in arrs])
     out = np.empty((B, L, D), dtype=np.float32)
@@ -101,6 +112,15 @@ def pack_masks_labels(labels: List[np.ndarray], B: int, L: int):
         return None
     n = len(labels)
     labels = [np.ascontiguousarray(a, dtype=np.int32) for a in labels]
+    for i, a in enumerate(labels):
+        if a.ndim != 1:
+            raise ValueError(f"pack_masks_labels: labels[{i}] has shape "
+                             f"{a.shape}, expected 1-D")
+        if a.shape[0] > L:
+            raise ValueError(f"pack_masks_labels: labels[{i}] length "
+                             f"{a.shape[0]} exceeds bucket L={L}")
+    if n > B:
+        raise ValueError(f"pack_masks_labels: {n} dialogues exceed batch B={B}")
     ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in labels])
     lens = (ctypes.c_int32 * n)(*[a.shape[0] for a in labels])
     umask = np.empty((B, L), dtype=np.float32)

@@ -40,9 +40,23 @@ def save_checkpoint(directory: str, state: Any, meta: Optional[Dict] = None,
             f.write(serialization.to_bytes(_to_host(state)))
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta or {}, f, indent=2, default=str)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        # Keep the previous checkpoint recoverable at every instant: rename
+        # it aside, swap the new one in, then drop the old copy — a crash
+        # between steps leaves either the old or the new state on disk.
+        old = final + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        had_prev = os.path.isdir(final)
+        if had_prev:
+            os.replace(final, old)
+        try:
+            os.replace(tmp, final)
+        except BaseException:
+            if had_prev:
+                os.replace(old, final)
+            raise
+        if had_prev:
+            shutil.rmtree(old, ignore_errors=True)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

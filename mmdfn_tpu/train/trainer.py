@@ -116,9 +116,6 @@ class Trainer:
     def __init__(self, cfg: ExperimentConfig, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
-        if cfg.matmul_precision:
-            jax.config.update("jax_default_matmul_precision",
-                              cfg.matmul_precision)
         if mesh is not None:
             n_data = mesh.shape[DATA_AXIS]
             if cfg.batch_size % n_data != 0:
@@ -222,6 +219,18 @@ class Trainer:
             logp = forward(params, batch, True, None)
             loss = self._loss(logp, batch["label"], batch["umask"])
             return loss, jnp.argmax(logp, axis=-1)
+
+        if cfg.matmul_precision:
+            # Scope the precision to this trainer's steps instead of mutating
+            # process-global jax config (which would leak into other trainers
+            # in a one-process sweep).  The context enters the jit trace key,
+            # so executables cache correctly per precision.
+            def scoped(fn):
+                def wrapped(*a, **k):
+                    with jax.default_matmul_precision(cfg.matmul_precision):
+                        return fn(*a, **k)
+                return wrapped
+            train_step, eval_step = scoped(train_step), scoped(eval_step)
 
         return train_step, eval_step
 

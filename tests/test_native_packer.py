@@ -64,3 +64,25 @@ def test_collate_uses_native_and_matches_disabled(rng, monkeypatch, tmp_path):
     for field in ("text", "visual", "audio", "qmask", "umask", "label"):
         np.testing.assert_array_equal(getattr(b_native, field),
                                       getattr(b_numpy, field))
+
+
+def test_pack_f32_rejects_out_of_bounds(rng):
+    B, L, D = 4, 8, 5
+    too_long = [rng.standard_normal((L + 1, D)).astype(np.float32)]
+    with pytest.raises(ValueError, match="exceeds bucket"):
+        _native.pack_f32(too_long, B, L, D)
+    wrong_dim = [rng.standard_normal((3, D + 2)).astype(np.float32)]
+    with pytest.raises(ValueError, match="expected"):
+        _native.pack_f32(wrong_dim, B, L, D)
+    too_many = [rng.standard_normal((2, D)).astype(np.float32)
+                for _ in range(B + 1)]
+    with pytest.raises(ValueError, match="exceed batch"):
+        _native.pack_f32(too_many, B, L, D)
+
+
+def test_pack_masks_labels_rejects_out_of_bounds(rng):
+    B, L = 3, 6
+    with pytest.raises(ValueError, match="exceeds bucket"):
+        _native.pack_masks_labels([np.zeros(L + 2, np.int32)], B, L)
+    with pytest.raises(ValueError, match="exceed batch"):
+        _native.pack_masks_labels([np.zeros(2, np.int32)] * (B + 1), B, L)
