@@ -3,6 +3,7 @@ from mmdfn_tpu.graph.adjacency import (
     intra_modal_similarity,
     cross_modal_diag_similarity,
     mm_big_adjacency,
+    mm_wo_speaker_adjacency,
     gcnii_block_adjacency,
     directed_speaker_adjacency,
     window_relation_adjacency,
@@ -15,6 +16,7 @@ __all__ = [
     "intra_modal_similarity",
     "cross_modal_diag_similarity",
     "mm_big_adjacency",
+    "mm_wo_speaker_adjacency",
     "gcnii_block_adjacency",
     "directed_speaker_adjacency",
     "window_relation_adjacency",

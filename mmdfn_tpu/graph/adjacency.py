@@ -181,6 +181,96 @@ def mm_big_adjacency(feats: Sequence[jnp.ndarray], umask: jnp.ndarray,
     return symmetric_normalize(adj, node_mask)
 
 
+def mm_wo_speaker_adjacency(feats: Sequence[jnp.ndarray], umask: jnp.ndarray,
+                            scheme: str = "single", window: int = 10,
+                            normalize: bool = True) -> jnp.ndarray:
+    """MM_GCN2's ``mm_graph`` cross-modal adjacency family, fully vectorized.
+
+    Equivalent of ``MM_GCN2.message_passing_wo_speaker``
+    (``model_mm.py:298-477``): every modality block gets identity self-loops
+    plus dense intra-dialogue angular-exact similarity edges; cross-modal
+    edges between modality pairs follow ``scheme``:
+
+    * ``"single"``: same-utterance diagonal only (``model_mm.py:330-351``).
+    * ``"window"``: the reference iterates ``pin in [max(j-w,0),
+      min(j+w, len))`` from the lower-indexed modality's ``j`` to the
+      higher's ``pin`` (``model_mm.py:352-382``), so the low->high block is
+      the asymmetric band ``pin - j in [-w, w-1]`` (the full matrix is still
+      symmetric via the mirrored write).
+    * ``"fc"``: all ordered pairs ``j <= pin`` from the lower-indexed modality
+      to the higher, symmetrized (``model_mm.py:383-407``).
+
+    Deliberate fixes (recorded in DESIGN.md; this function is dead code
+    upstream — ``MM_GCN2.forward`` never calls it, ``model_mm.py:236-239``):
+
+    * the ``fc`` branch drops the dialogue offset on the target index
+      (``yz = modal_index_bias + pin``, ``model_mm.py:389``), wiring every
+      dialogue's cross-modal edges into the *first* dialogue's rows.  We keep
+      edges within the dialogue (``start + pin``), which also preserves the
+      block-diagonal structure the batched layout (and DP sharding) relies on;
+    * the two-modality branch computes ``modal_index_bias = N // 3`` for a
+       2-block node matrix (``model_mm.py:413``), splitting mid-modality.  We
+      use the true per-modality block size for any M.
+
+    Weights use ``atom_calculate_edge_weight`` semantics — clamp-to-±1 (not
+    0.99999-rescale) then ``1 - arccos/pi`` (``model_mm.py:479-487``).
+    Normalization is global ``D^-1/2 A D^-1/2`` (``model_mm.py:473-475``),
+    which factorizes per dialogue because every edge is intra-dialogue.
+
+    Args:
+      feats: M arrays (B, L, D) — the per-modality node features (the
+        reference would pass the encoded node matrix split by modality).
+      umask: (B, L) validity mask.
+    Returns:
+      (B, M*L, M*L) float32 adjacency, pads exactly zero.
+    """
+    if scheme not in ("single", "window", "fc"):
+        raise ValueError(f"mm_graph scheme must be single/window/fc, "
+                         f"got {scheme!r}")
+    M = len(feats)
+    B, L = umask.shape
+    m1 = umask.astype(jnp.float32)
+    pm = m1[:, :, None] * m1[:, None, :]
+    eye = jnp.eye(L, dtype=jnp.float32)
+    units = [_safe_unit(f) for f in feats]
+
+    i = jnp.arange(L)
+    delta = i[:, None] - i[None, :]
+    if scheme == "single":
+        cross = {(0, 1): delta == 0, (1, 0): delta == 0}
+    elif scheme == "window":
+        # low->high block [j, pin]: pin - j in [-w, w-1]; delta = j - pin
+        lo_hi = jnp.logical_and(delta <= window, delta >= -(window - 1))
+        cross = {(0, 1): lo_hi, (1, 0): lo_hi.T}
+    else:                                           # fc: row<=col, symmetrized
+        cross = {(0, 1): delta <= 0, (1, 0): delta >= 0}
+
+    def cross_mask(a, b):
+        return cross[(0, 1)] if a < b else cross[(1, 0)]
+
+    rows = []
+    for a in range(M):
+        blocks = []
+        for b in range(M):
+            cos = jnp.einsum("bld,bmd->blm", units[a], units[b],
+                             precision=jax.lax.Precision.HIGHEST)
+            sim = angular_exact_similarity(cos) * pm
+            if a == b:
+                # off-diagonal dense similarity; diagonal stays at the
+                # identity self-loop weight 1 (adj = zeros + eye upstream)
+                blocks.append(jnp.where(delta != 0, sim, 0.0)
+                              + eye[None] * m1[:, :, None])
+            else:
+                blocks.append(jnp.where(cross_mask(a, b)[None], sim, 0.0))
+        rows.append(jnp.concatenate(blocks, axis=2))
+    adj = jnp.concatenate(rows, axis=1)
+
+    if not normalize:
+        return adj
+    node_mask = jnp.tile(m1, (1, M))
+    return symmetric_normalize(adj, node_mask)
+
+
 def gcnii_block_adjacency(x: jnp.ndarray, umask: jnp.ndarray,
                           variant: str = "angular",
                           per_block_normalize: bool = False) -> jnp.ndarray:

@@ -26,7 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mmdfn_tpu.graph.adjacency import mm_big_adjacency
+from mmdfn_tpu.graph.adjacency import (mm_big_adjacency,
+                                       mm_wo_speaker_adjacency)
 from mmdfn_tpu.nn.gcn import GCNIIStack
 from mmdfn_tpu.nn.linear import TorchDense
 from mmdfn_tpu.utils import torch_init
@@ -145,11 +146,19 @@ class MMGCN2(nn.Module):
         encoded = [enc(feats[m], f"fc_{m}") for m in modals]
         x = jnp.concatenate(encoded, axis=1)            # (B, M*L, H)
 
-        # Adjacency from the *raw* (pre-encoder) features, as upstream
-        # (model_mm.py:239 passes a, v, l not a_, v_, l_).
-        raw = [feats[m] for m in modals]
-        adj = mm_big_adjacency(raw, umask, variant="arccos",
-                               cross_constant=0.99999)
+        if self.mm_graph in ("single", "window", "fc"):
+            # message_passing_wo_speaker family (model_mm.py:298-477) — dead
+            # code upstream (forward never calls it); completed here from the
+            # encoded node features, matching how the forward feeds its other
+            # node-matrix builder (model_mm.py:236-237 passes x, not a/v/l).
+            adj = mm_wo_speaker_adjacency(encoded, umask,
+                                          scheme=self.mm_graph)
+        else:
+            # Adjacency from the *raw* (pre-encoder) features, as upstream
+            # (model_mm.py:239 passes a, v, l not a_, v_, l_).
+            raw = [feats[m] for m in modals]
+            adj = mm_big_adjacency(raw, umask, variant="arccos",
+                                   cross_constant=0.99999)
 
         stack = GCNIIStack(
             nlayers=self.nlayers, nhidden=self.nhidden, dropout=self.dropout,

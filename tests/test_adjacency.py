@@ -223,3 +223,91 @@ def test_relation_type_ids():
     assert ids[1, 0] == 2 * (1 * P + 0) + 1   # src 1(spk1) -> dst 0(spk0), backward
     assert ids[0, 0] == 2 * (0 * P + 0) + 1   # self loop -> dir bit 1
     assert ids[2, 1] == 2 * (0 * P + 1) + 1
+
+
+def oracle_mm_wo_speaker(feats_packed, dia_len, scheme, window=10):
+    """Packed (M*N, M*N) oracle of ``message_passing_wo_speaker``
+    (model_mm.py:298-477) with the two documented fixes: the fc target index
+    keeps its dialogue offset (model_mm.py:389 drops it) and the modality
+    block size is the true N (model_mm.py:413 uses N*M//3 for M=2)."""
+    M = len(feats_packed)
+    N = feats_packed[0].shape[0]
+    x = np.concatenate(feats_packed, axis=0)          # (M*N, D)
+
+    def w(p, q):
+        a, b = x[p], x[q]
+        f = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        f = min(1.0, max(-1.0, f))
+        return 1.0 - np.arccos(f) / np.pi
+
+    adj = np.eye(M * N)
+    start = 0
+    for L in dia_len:
+        # intra-modal: all pairs within the dialogue, every modality
+        for m in range(M):
+            for j in range(L - 1):
+                for pin in range(L - 1 - j):
+                    xz = m * N + start + j
+                    yz = xz + pin + 1
+                    adj[xz, yz] = adj[yz, xz] = w(xz, yz)
+        # cross-modal, per scheme, every modality pair (m < n)
+        for m in range(M):
+            for n in range(m + 1, M):
+                for j in range(L):
+                    if scheme == "single":
+                        pins = [j]
+                    elif scheme == "window":
+                        pins = range(max(j - window, 0), min(j + window, L))
+                    else:                                           # fc
+                        pins = range(j, L)
+                    for pin in pins:
+                        xz = m * N + start + j
+                        yz = n * N + start + pin
+                        adj[xz, yz] = adj[yz, xz] = w(xz, yz)
+        start += L
+    d = adj.sum(1)
+    dinv = np.where(d > 0, d ** -0.5, 0.0)
+    return dinv[:, None] * adj * dinv[None, :]
+
+
+@pytest.mark.parametrize("scheme", ["single", "window", "fc"])
+@pytest.mark.parametrize("n_modals", [2, 3])
+def test_mm_wo_speaker_adjacency_matches_oracle(rng, scheme, n_modals):
+    from mmdfn_tpu.graph import mm_wo_speaker_adjacency
+
+    dia_len = [5, 3, 7]
+    L_pad, D = 9, 6
+    feats, packed = [], []
+    for _ in range(n_modals):
+        x, umask = _random_batch(rng, dia_len, L_pad, D)
+        feats.append(x)
+        packed.append(np.concatenate([x[b, :L] for b, L in enumerate(dia_len)]))
+    # window=2 so the window actually clips inside these short dialogues
+    ours = np.asarray(mm_wo_speaker_adjacency(
+        [jnp.array(f) for f in feats], jnp.array(umask),
+        scheme=scheme, window=2))
+    ref = oracle_mm_wo_speaker(packed, dia_len, scheme, window=2)
+
+    M = n_modals
+    for b, L in enumerate(dia_len):
+        start = sum(dia_len[:b])
+        for m in range(M):
+            for n in range(M):
+                got = ours[b, m * L_pad:m * L_pad + L, n * L_pad:n * L_pad + L]
+                exp = ref[m * len(packed[0]) + start:][:L].T[
+                    n * len(packed[0]) + start:][:L].T
+                np.testing.assert_allclose(got, exp, atol=2e-5,
+                                           err_msg=f"b={b} block ({m},{n})")
+    # padding rows/cols exactly zero
+    for b, L in enumerate(dia_len):
+        for m in range(M):
+            pad = ours[b, m * L_pad + L: (m + 1) * L_pad]
+            assert not pad.any()
+
+
+def test_mm_wo_speaker_rejects_unknown_scheme(rng):
+    from mmdfn_tpu.graph import mm_wo_speaker_adjacency
+    x, umask = _random_batch(rng, [3], 4, 5)
+    with pytest.raises(ValueError, match="single/window/fc"):
+        mm_wo_speaker_adjacency([jnp.array(x)], jnp.array(umask),
+                                scheme="direct")

@@ -20,6 +20,9 @@ def data(tmp_path_factory):
 @pytest.mark.parametrize("graph_type,extra", [
     ("GF", {}),
     ("GF2", {}),
+    ("GF2", dict(graph_construct="single")),
+    ("GF2", dict(graph_construct="window")),
+    ("GF2", dict(graph_construct="fc")),
     ("relation", {}),
     ("DeepGCN", {}),
     ("GCN3", {}),
