@@ -134,6 +134,17 @@ def gcnii_lyc(p, x, adj):
     return torch.cat([x, h], dim=1)
 
 
+def _graph_head(p, emo_a, emo_v, emo_l):
+    """Shared tail: dynamic adjacency -> GCNII -> concat -> classifier."""
+    adj = big_adj([emo_a, emo_v, emo_l])
+    x = torch.cat([emo_a, emo_v, emo_l], dim=0)
+    h = gcnii_lyc(p["graph_model"]["graph_net"], x, adj)
+    N = emo_a.shape[0]
+    feat = torch.cat([h[:N], h[N:2 * N], h[2 * N:]], dim=1)
+    logits = linear(p["smax_fc"])(F.relu(feat))
+    return F.log_softmax(logits, dim=-1)
+
+
 def torch_flagship(params, text, audio, visual, qmask):
     """The complete reference GDF eval forward for one dialogue, seq-first."""
     p = params
@@ -148,14 +159,48 @@ def torch_flagship(params, text, audio, visual, qmask):
     ctx_l = lstm_l(U_l[:, None])[0][:, 0]
     emo_l = ctx_l + SW[2] * crn(parties, U_l, qmask)
 
-    adj = big_adj([emo_a, emo_v, emo_l])
-    x = torch.cat([emo_a, emo_v, emo_l], dim=0)
-    h = gcnii_lyc(p["graph_model"]["graph_net"], x, adj)
+    return _graph_head(p, emo_a, emo_v, emo_l)
 
-    N = emo_a.shape[0]
-    feat = torch.cat([h[:N], h[N:2 * N], h[2 * N:]], dim=1)
-    logits = linear(p["smax_fc"])(F.relu(feat))
-    return F.log_softmax(logits, dim=-1)
+
+def torch_flagship_faithful_pads(params, text, audio, visual, qmask,
+                                 true_len):
+    """The reference forward as it ACTUALLY behaves on a padded batch row.
+
+    The reference's encoders run on the zero-padded (L_pad, D) buffers: the
+    linear layers turn pad rows into bias rows, ``lstm_l`` consumes the whole
+    padded sequence (its backward direction reads pads before the real
+    utterances), and the CRN feeds each party's zero-padded buffer to cuDNN
+    (``model.py:1040-1060``).  Only the graph stage is pad-free (the packed
+    node matrix keeps valid utterances only).  This is the one channel where
+    the build deliberately deviates (padding-invariant BiRNN, see
+    mmdfn_tpu/nn/rnn.py) — this oracle exists to *measure* that deviation.
+    """
+    p = params
+    L_pad = text.shape[0]
+    U_a = linear(p["linear_a"])(audio)
+    U_v = linear(p["linear_v"])(visual)
+    U_l = linear(p["linear_l"])(text)
+    parties = make_torch_gru(p["rnn_parties"], "rnn_parties", 200, 100)
+    lstm_l = make_torch_gru(p["lstm_l"], "lstm_l", 200, 100)
+
+    def crn_pad(U):
+        U_p = torch.zeros(L_pad, U.shape[-1])
+        for sp in range(qmask.shape[-1]):
+            idx = torch.nonzero(qmask[:, sp]).squeeze(-1)
+            if len(idx) == 0:
+                continue
+            buf = torch.zeros(L_pad, U.shape[-1])
+            buf[:len(idx)] = U[idx]
+            out, _ = parties(buf[:, None])        # bi-GRU consumes the pads
+            U_p[idx] = out[:len(idx), 0]
+        return U_p
+
+    emo_a = (U_a + SW[0] * crn_pad(U_a))[:true_len]
+    emo_v = (U_v + SW[1] * crn_pad(U_v))[:true_len]
+    ctx_l = lstm_l(U_l[:, None])[0][:, 0]         # backward dir reads pads
+    emo_l = (ctx_l + SW[2] * crn_pad(U_l))[:true_len]
+
+    return _graph_head(p, emo_a, emo_v, emo_l)
 
 
 @pytest.mark.parametrize("n_speakers,n_classes,sw", [
@@ -204,3 +249,66 @@ def _run_forward_parity(rng, n_speakers, n_classes, sw):
 
     np.testing.assert_allclose(np.asarray(ours[0]), expected.numpy(),
                                atol=2e-4)
+
+
+def test_padded_batch_parity_and_rnn_padding_deviation(rng):
+    """Two guarantees on a genuinely padded batch row:
+
+    1. the build matches the *truncated* torch oracle exactly — our outputs
+       are padding-invariant (pads never leak into valid positions);
+    2. the deviation between truncated semantics and the reference's
+       pads-into-cuDNN behavior is MEASURED, not just documented: it must be
+       nonzero (the oracle really exercises the channel) and bounded, so the
+       one route through which published-F1 reproduction could drift is
+       quantified.
+    """
+    L_pad, true_len = 9, 5
+    model = DialogueGNN(
+        base_model="LSTM", D_m=100, D_m_a=1582, D_m_v=342,
+        n_speakers=2, n_classes=6, dropout=0.4,
+        graph_type="GDF", reason_flag=True, deep_gcn_nlayers=NLAYERS,
+        use_crn_speaker=True, speaker_weights="3-0-1",
+        alpha=ALPHA, lamda=LAMDA)
+
+    umask = np.zeros((1, L_pad), np.float32)
+    umask[0, :true_len] = 1
+    text = rng.standard_normal((1, L_pad, 100)).astype(np.float32)
+    audio = rng.standard_normal((1, L_pad, 1582)).astype(np.float32)
+    visual = rng.standard_normal((1, L_pad, 342)).astype(np.float32)
+    for x in (text, audio, visual):
+        x *= umask[..., None]
+    spk = rng.integers(0, 2, size=L_pad)
+    qmask = np.zeros((1, L_pad, 2), np.float32)
+    qmask[0, np.arange(L_pad), spk] = 1
+    qmask *= umask[..., None]
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.array(text),
+                           jnp.array(qmask), jnp.array(umask),
+                           jnp.array(audio), jnp.array(visual),
+                           deterministic=True)
+    ours = np.asarray(model.apply(
+        variables, jnp.array(text), jnp.array(qmask), jnp.array(umask),
+        jnp.array(audio), jnp.array(visual),
+        deterministic=True))[0, :true_len]
+
+    with torch.no_grad():
+        trunc = torch_flagship(
+            variables["params"], torch.tensor(text[0, :true_len]),
+            torch.tensor(audio[0, :true_len]),
+            torch.tensor(visual[0, :true_len]),
+            torch.tensor(qmask[0, :true_len])).numpy()
+        faithful = torch_flagship_faithful_pads(
+            variables["params"], torch.tensor(text[0]),
+            torch.tensor(audio[0]), torch.tensor(visual[0]),
+            torch.tensor(qmask[0]), true_len).numpy()
+
+    # (1) build == truncated oracle on the padded batch
+    np.testing.assert_allclose(ours, trunc, atol=2e-4)
+
+    # (2) quantified deviation of the documented BiRNN-padding fix
+    dev = np.abs(trunc - faithful)
+    assert dev.max() > 1e-4, "faithful-pads oracle did not exercise padding"
+    assert dev.max() < 0.5, (
+        f"padding deviation larger than the documented bound: {dev.max()}")
+    print(f"\nRNN-padding deviation on log-probs: max={dev.max():.4f} "
+          f"mean={dev.mean():.5f}")

@@ -6,6 +6,12 @@ N optimization steps of the flagship MM-DFN produce the same loss trajectory
 and parameters in both frameworks — i.e. gradients through the dynamic
 adjacency (arccos/normalization), the CRN permutation, the GCNII scan, and
 the focal loss (stop-grad pt) all match the reference's autograd.
+
+Covers both flagship configs (IEMOCAP 2-speaker and MELD 9-speaker) over
+10 optimizer steps with an explicit per-step drift bound: float32
+accumulation drift is allowed to grow linearly per step, so a systematic
+gradient mismatch (which compounds multiplicatively) cannot hide inside the
+tolerance.
 """
 
 import numpy as np
@@ -19,7 +25,7 @@ import jax.numpy as jnp
 import sys
 import os
 sys.path.insert(0, os.path.dirname(__file__))
-from test_e2e_torch_parity import (ALPHA, LAMDA, NLAYERS, SW, big_adj, crn,
+from test_e2e_torch_parity import (ALPHA, LAMDA, NLAYERS, big_adj, crn,
                                    gcnii_lyc, linear, make_torch_gru)
 
 from mmdfn_tpu.config import ExperimentConfig
@@ -27,16 +33,22 @@ from mmdfn_tpu.data.batching import Batch
 from mmdfn_tpu.train import Trainer
 
 L = 6
-STEPS = 3
+STEPS = 10
 LR, L2, GAMMA = 1e-3, 1e-4, 0.5
+# per-step drift budget on the loss: |ours - theirs| <= DRIFT * (step + 1)
+# (measured: <6e-5 absolute at step 10 on both configs; the bound leaves
+# ~3x headroom while still catching any systematic gradient mismatch, which
+# compounds multiplicatively, within 2-3 steps)
+DRIFT = 2e-4
 
 
 class TorchFlagship(torch.nn.Module):
     """Trainable torch replica of the flagship GDF eval path (dropout off),
     initialized from our flax params."""
 
-    def __init__(self, p):
+    def __init__(self, p, sw):
         super().__init__()
+        self.sw = sw
         t = lambda a: torch.nn.Parameter(torch.tensor(np.asarray(a)))
         self.w_la, self.b_la = t(p["linear_a"]["kernel"]), t(p["linear_a"]["bias"])
         self.w_lv, self.b_lv = t(p["linear_v"]["kernel"]), t(p["linear_v"]["bias"])
@@ -55,13 +67,14 @@ class TorchFlagship(torch.nn.Module):
         # reuse the shared oracle helpers from test_e2e_torch_parity (they
         # pass torch Parameters straight through), so there is exactly ONE
         # encoding of the reference semantics across both parity tests
+        sw = self.sw
         U_a = linear(dict(kernel=self.w_la, bias=self.b_la))(audio)
         U_v = linear(dict(kernel=self.w_lv, bias=self.b_lv))(visual)
         U_l = linear(dict(kernel=self.w_ll, bias=self.b_ll))(text)
-        emo_a = U_a + SW[0] * crn(self.rnn_parties, U_a, qmask)
-        emo_v = U_v + SW[1] * crn(self.rnn_parties, U_v, qmask)
+        emo_a = U_a + sw[0] * crn(self.rnn_parties, U_a, qmask)
+        emo_v = U_v + sw[1] * crn(self.rnn_parties, U_v, qmask)
         emo_l = (self.lstm_l(U_l[:, None])[0][:, 0]
-                 + SW[2] * crn(self.rnn_parties, U_l, qmask))
+                 + sw[2] * crn(self.rnn_parties, U_l, qmask))
 
         adj = big_adj([emo_a, emo_v, emo_l])
         x = torch.cat([emo_a, emo_v, emo_l], dim=0)
@@ -82,26 +95,33 @@ def focal(logp, target, gamma=GAMMA):
     return (-((1 - pt) ** gamma) * logpt).mean()
 
 
-def test_training_trajectory_matches_torch(rng):
+@pytest.mark.parametrize("dataset,sw", [
+    ("IEMOCAP", "3-0-1"),          # run_train_ie.sh flagship
+    ("MELD", "0.5-0.5-1.5"),       # run_train_me.sh flagship (9 speakers)
+])
+def test_training_trajectory_matches_torch(rng, dataset, sw):
     cfg = ExperimentConfig(
-        graph_type="GDF", reason_flag=True, Deep_GCN_nlayers=NLAYERS,
-        dropout=0.0, lr=LR, l2=L2, gamma=GAMMA, class_weight=False,
-        batch_size=1, buckets=(L,), speaker_weights="3-0-1")
+        dataset=dataset, graph_type="GDF", reason_flag=True,
+        Deep_GCN_nlayers=NLAYERS, dropout=0.0, lr=LR, l2=L2, gamma=GAMMA,
+        class_weight=False, batch_size=1, buckets=(L,), speaker_weights=sw)
     trainer = Trainer(cfg)
+    info = cfg.info
+    n_speakers, n_classes = info["n_speakers"], info["n_classes"]
 
-    text = rng.standard_normal((1, L, 100)).astype(np.float32)
-    audio = rng.standard_normal((1, L, 1582)).astype(np.float32)
-    visual = rng.standard_normal((1, L, 342)).astype(np.float32)
-    spk = rng.integers(0, 2, size=L)
-    qmask = np.zeros((1, L, 2), np.float32)
+    text = rng.standard_normal((1, L, info["D_text"])).astype(np.float32)
+    audio = rng.standard_normal((1, L, info["D_audio"])).astype(np.float32)
+    visual = rng.standard_normal((1, L, info["D_visual"])).astype(np.float32)
+    spk = rng.integers(0, n_speakers, size=L)
+    qmask = np.zeros((1, L, n_speakers), np.float32)
     qmask[0, np.arange(L), spk] = 1
     umask = np.ones((1, L), np.float32)
-    label = rng.integers(0, 6, size=(1, L)).astype(np.int32)
+    label = rng.integers(0, n_classes, size=(1, L)).astype(np.int32)
     batch = Batch(text=text, visual=visual, audio=audio, qmask=qmask,
                   umask=umask, label=label)
 
     state = trainer.init_state()
-    replica = TorchFlagship(jax.tree_util.tree_map(np.asarray, state.params))
+    replica = TorchFlagship(jax.tree_util.tree_map(np.asarray, state.params),
+                            sw=cfg.speaker_weight_list)
     opt = torch.optim.Adam(replica.parameters(), lr=LR, weight_decay=L2)
 
     from mmdfn_tpu.train.trainer import prepare_inputs
@@ -124,8 +144,12 @@ def test_training_trajectory_matches_torch(rng):
         opt.step()
         theirs.append(float(tloss))
 
-    np.testing.assert_allclose(ours, theirs, rtol=2e-4)
+    drift = np.abs(np.asarray(ours) - np.asarray(theirs))
+    budget = DRIFT * (np.arange(STEPS) + 1)
+    assert (drift <= budget).all(), (
+        f"per-step loss drift exceeded budget:\n ours={ours}\n "
+        f"theirs={theirs}\n drift={drift.tolist()}\n budget={budget.tolist()}")
     # spot-check a parameter tensor after training
     np.testing.assert_allclose(
         np.asarray(state.params["smax_fc"]["kernel"]),
-        replica.w_out.detach().numpy(), atol=5e-5)
+        replica.w_out.detach().numpy(), atol=2e-4)
