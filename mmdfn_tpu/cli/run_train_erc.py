@@ -100,14 +100,38 @@ def build_parser() -> argparse.ArgumentParser:
     add("--resume", action="store_true", default=False,
         help="continue an interrupted run from save_model_dir's 'last' "
              "checkpoint (params + optimizer + selection counters)")
+    add("--faithful_epoch_reseed", action="store_true", default=True,
+        help="reference parity: re-derive the same dropout key stream every "
+             "epoch (run_train_erc.py:164)")
+    add("--no_faithful_epoch_reseed", dest="faithful_epoch_reseed",
+        action="store_false",
+        help="fold the epoch into the dropout key instead (fresh draws)")
+    add("--matmul_precision", type=str, default=None,
+        choices=["default", "float32", "highest"],
+        help="matmul precision for this trainer's steps; 'highest'/'float32' "
+             "for strict reference parity (TPU default is bf16 inputs)")
+    add("--transfer_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="H2D feature transfer dtype; bfloat16 halves transfer bytes")
+    add("--param_dtype", type=str, default="float32",
+        choices=["float32", "bfloat16"])
+    add("--buckets", type=str, default=None,
+        help="comma-separated static padding lengths, e.g. 16,32,64,128,200 "
+             "(one XLA executable per bucket)")
     return p
 
 
 def config_from_args(args) -> "ExperimentConfig":
     from mmdfn_tpu.config import ExperimentConfig
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
-    return ExperimentConfig(**{k: v for k, v in vars(args).items()
-                               if k in fields})
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    if getattr(args, "buckets", None):
+        kw["buckets"] = tuple(int(b) for b in args.buckets.split(","))
+    elif "buckets" in kw:
+        del kw["buckets"]                     # keep the dataclass default
+    if kw.get("matmul_precision") == "default":
+        kw["matmul_precision"] = None
+    return ExperimentConfig(**kw)
 
 
 def load_dialogues(cfg):
@@ -178,25 +202,53 @@ def main(argv=None) -> int:
     state = trainer.init_state()
     print("The model have {} parameters in total".format(
         count_params(state.params)))
+
+    writer = None
+    if args.tensorboard:
+        writer = _make_tensorboard_writer(args.save_model_dir)
+        if writer is not None:
+            trainer.grad_hist_sink = _grad_hist_sink(writer)
+
     with trace(args.profile_dir):
         result = trainer.fit(train, test, valid_dialogues=valid, state=state,
                              verbose=True, log_path=cfg.log_jsonl,
                              save_dir=args.save_model_dir,
                              resume=args.resume)
 
-    if args.tensorboard:
-        try:
-            from tensorboardX import SummaryWriter
-            writer = SummaryWriter()
-            for row in result.history:
-                for k, v in row.items():
-                    if isinstance(v, (int, float)) and v == v:
-                        writer.add_scalar(k, v, row["epoch"])
-            writer.close()
-        except ImportError:
-            print("tensorboardX not installed; epoch metrics were written "
-                  "to stdout/JSONL instead")
+    if writer is not None:
+        for row in result.history:
+            for k, v in row.items():
+                if isinstance(v, (int, float)) and v == v:
+                    writer.add_scalar(k, v, row["epoch"])
+        writer.close()
     return 0
+
+
+def _make_tensorboard_writer(save_dir: str):
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        print("tensorboardX not installed; epoch metrics go to stdout/JSONL, "
+              "gradient histograms are skipped")
+        return None
+    return SummaryWriter(logdir=os.path.join(save_dir, "tensorboard"))
+
+
+def _grad_hist_sink(writer):
+    """Per-batch per-parameter gradient histograms, reference
+    ``run_train_erc.py:120-122,209-211`` — fed from the on-device reductions
+    (counts/edges/moments), so no full gradient tensor crosses to the host."""
+    def sink(step: int, hists: dict):
+        for name, h in hists.items():
+            tag = "grad/" + name.strip("[]'\"").replace("']['", "/")
+            writer.add_histogram_raw(
+                tag, min=float(h["min"]), max=float(h["max"]),
+                num=int(h["num"]), sum=float(h["sum"]),
+                sum_squares=float(h["sum_sq"]),
+                bucket_limits=np.asarray(h["edges"])[1:].tolist(),
+                bucket_counts=np.asarray(h["counts"]).tolist(),
+                global_step=step)
+    return sink
 
 
 if __name__ == "__main__":

@@ -117,6 +117,33 @@ def debug_numerics(enable: bool = True):
     jax.config.update("jax_debug_infs", enable)
 
 
+def grad_histograms_device(grads, bins: int = 64) -> Dict[str, Dict]:
+    """Per-parameter gradient histograms computed INSIDE the jitted step.
+
+    TPU-first version of the reference's per-batch
+    ``writer.add_histogram(name, param.grad)`` (``run_train_erc.py:120-122``,
+    ``209-211``): instead of transferring every full gradient tensor to the
+    host each batch, the (counts, edges) plus the summary moments tensorboard
+    wants are reduced on-device — the per-leaf transfer is ~0.5KB regardless
+    of parameter size, so the observability flag doesn't serialize training.
+
+    Returns ``{param_path: {counts, edges, min, max, sum, sum_sq, num}}``
+    (device arrays when called under jit).
+    """
+    import jax.numpy as jnp
+
+    out = {}
+    for path, g in jax.tree_util.tree_leaves_with_path(grads):
+        name = jax.tree_util.keystr(path)
+        flat = jnp.ravel(g).astype(jnp.float32)
+        counts, edges = jnp.histogram(flat, bins=bins)
+        out[name] = dict(
+            counts=counts, edges=edges, min=jnp.min(flat), max=jnp.max(flat),
+            sum=jnp.sum(flat), sum_sq=jnp.sum(flat * flat),
+            num=jnp.asarray(flat.size, jnp.int32))
+    return out
+
+
 def grad_histograms(grads, bins: int = 64) -> Dict[str, tuple]:
     """Per-parameter gradient histograms (tensorboard flag surface,
     reference ``run_train_erc.py:120-122``).  Returns

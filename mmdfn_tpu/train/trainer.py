@@ -129,6 +129,14 @@ class Trainer:
         self.alpha = None if alpha is None else jnp.asarray(alpha)
         self.loss_kind = ("focal" if (cfg.graph_model and cfg.loss == "FocalLoss")
                           else "nll")
+        # --tensorboard reproduces the reference's per-batch per-parameter
+        # gradient histograms (run_train_erc.py:120-122,209-211), reduced
+        # on-device inside the jitted step (see profiling.grad_histograms_device)
+        self.grad_hist_bins = 64 if cfg.tensorboard else 0
+        # callback (global_step, {param: hist-dict of host arrays}) — set by
+        # the CLI to a tensorboardX writer; epochs buffer device-side and
+        # flush at the end-of-epoch sync so dispatch stays asynchronous
+        self.grad_hist_sink = None
         self._train_step, self._eval_step = self._build_steps()
 
     # ------------------------------------------------------------------
@@ -203,6 +211,8 @@ class Trainer:
             logp = forward(params, batch, False, rng)
             return self._loss(logp, batch["label"], batch["umask"]), logp
 
+        hist_bins = self.grad_hist_bins
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng):
             (loss, logp), grads = jax.value_and_grad(
@@ -212,6 +222,10 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             new = TrainState(params=params, opt_state=opt_state,
                              step=state.step + 1)
+            if hist_bins:
+                from mmdfn_tpu.runtime.profiling import grad_histograms_device
+                hists = grad_histograms_device(grads, bins=hist_bins)
+                return new, loss, jnp.argmax(logp, axis=-1), hists
             return new, loss, jnp.argmax(logp, axis=-1)
 
         @jax.jit
@@ -256,6 +270,7 @@ class Trainer:
         cfg = self.cfg
         losses, mask_sums = [], []
         all_labels, all_preds = [], []
+        hist_rows = []
         key = self._epoch_key(epoch)
         meter = ThroughputMeter()
         meter.start()
@@ -277,8 +292,13 @@ class Trainer:
             n_dia_total += int((batch.umask.sum(-1) > 0).sum())
             n_utt_total += batch.n_valid
             if train:
-                state, loss, preds = self._train_step(
-                    state, inputs, jax.random.fold_in(key, i))
+                out = self._train_step(state, inputs,
+                                       jax.random.fold_in(key, i))
+                if self.grad_hist_bins:
+                    state, loss, preds, hists = out
+                    hist_rows.append(hists)     # device arrays; no sync here
+                else:
+                    state, loss, preds = out
             else:
                 loss, preds = self._eval_step(state.params, inputs)
             m = batch.umask.reshape(-1) > 0
@@ -289,6 +309,14 @@ class Trainer:
         losses = [float(l) for l in losses]          # syncs the whole epoch
         all_preds = [np.asarray(p).reshape(-1)[m] for p, m in all_preds]
         meter.stop(n_dia_total, n_utt_total)
+        if hist_rows and self.grad_hist_sink is not None:
+            # per-batch global step numbers reconstructed from the final
+            # post-epoch step counter (state.step advanced once per batch)
+            last = int(state.step)
+            for k, hists in enumerate(hist_rows):
+                step_no = last - len(hist_rows) + k + 1
+                self.grad_hist_sink(
+                    step_no, jax.tree_util.tree_map(np.asarray, hists))
         if not all_labels:
             nan = float("nan")
             empty = np.zeros((0,), np.int32)

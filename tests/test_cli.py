@@ -80,3 +80,59 @@ def test_cli_test_label_missing_checkpoint(tmp_path, capsys):
     rc = main(["--dataset", "IEMOCAP", "--data_dir", pkl, "--test_label",
                "--load_model", str(tmp_path / "nope")])
     assert rc == 1
+
+
+def test_parity_toggle_flags_round_trip():
+    argv = ("--no_faithful_epoch_reseed --matmul_precision highest "
+            "--transfer_dtype bfloat16 --param_dtype float32 "
+            "--buckets 8,16,32").split()
+    cfg = config_from_args(build_parser().parse_args(argv))
+    assert cfg.faithful_epoch_reseed is False
+    assert cfg.matmul_precision == "highest"
+    assert cfg.transfer_dtype == "bfloat16"
+    assert cfg.buckets == (8, 16, 32)
+    # defaults preserved when the flags are absent
+    cfg = config_from_args(build_parser().parse_args([]))
+    assert cfg.faithful_epoch_reseed is True
+    assert cfg.matmul_precision is None
+    assert cfg.buckets[0] == 16 and len(cfg.buckets) == 9
+    # 'default' sentinel maps to None (backend default precision)
+    cfg = config_from_args(build_parser().parse_args(
+        ["--matmul_precision", "default"]))
+    assert cfg.matmul_precision is None
+
+
+def test_cli_tensorboard_grad_histograms(tmp_path):
+    from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+    pkl = str(tmp_path / "iem.pkl")
+    make_synthetic_iemocap_pickle(pkl, n_train=4, n_test=2, min_len=4,
+                                  max_len=8, seed=2)
+    out = str(tmp_path / "out")
+    rc = main(["--dataset", "IEMOCAP", "--data_dir", pkl, "--epochs", "1",
+               "--batch-size", "4", "--Deep_GCN_nlayers", "2",
+               "--save_model_dir", out, "--tensorboard"])
+    assert rc == 0
+    tb_dir = os.path.join(out, "tensorboard")
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, "no tensorboard event file written"
+    # histogram rows (one per parameter per batch) + epoch scalars present
+    from tensorboardX.proto import event_pb2
+    import struct
+    hist_tags, scalar_tags = set(), set()
+    with open(os.path.join(tb_dir, events[0]), "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos < len(data):
+        (length,) = struct.unpack_from("<Q", data, pos)
+        pos += 12                                   # len + len-crc
+        ev = event_pb2.Event()
+        ev.ParseFromString(data[pos:pos + length])
+        pos += length + 4                           # payload + payload-crc
+        for v in ev.summary.value:
+            if v.HasField("histo"):
+                hist_tags.add(v.tag)
+            elif v.HasField("simple_value"):
+                scalar_tags.add(v.tag)
+    assert any(t.startswith("grad/") for t in hist_tags), hist_tags
+    assert len([t for t in hist_tags if t.startswith("grad/")]) > 10
+    assert "train_loss" in scalar_tags

@@ -64,3 +64,22 @@ def test_trainer_reports_throughput(tmp_path):
                  IEMOCAPDataset(pkl, False).dialogues(), verbose=False)
     assert res.history[0]["train_dps"] > 0
     assert res.history[0]["train_ups"] > 0
+
+
+def test_grad_histograms_device_under_jit():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mmdfn_tpu.runtime.profiling import grad_histograms_device
+
+    grads = {"a": {"kernel": jnp.arange(12.).reshape(3, 4) - 6.0,
+                   "bias": jnp.zeros((4,))}}
+    out = jax.jit(lambda g: grad_histograms_device(g, bins=8))(grads)
+    k = out["['a']['kernel']"]
+    assert int(np.asarray(k["counts"]).sum()) == 12
+    assert int(k["num"]) == 12
+    np.testing.assert_allclose(float(k["min"]), -6.0)
+    np.testing.assert_allclose(float(k["sum"]), float(np.arange(12).sum() - 72))
+    b = out["['a']['bias']"]                    # all-zero leaf must not nan
+    assert int(np.asarray(b["counts"]).sum()) == 4
+    assert np.isfinite(np.asarray(b["edges"])).all()
