@@ -128,10 +128,22 @@ class StreamingSession:
 
 
 def measure_latency(trainer: Trainer, state: TrainState, dialogues,
-                    buckets=(8, 16, 32, 64, 128, 200)) -> Dict[str, float]:
-    """Feed dialogues utterance-by-utterance; report per-utterance latency."""
+                    buckets=(8, 16, 32, 64, 128, 200),
+                    warmup_dialogues: int = 0) -> Dict[str, float]:
+    """Feed dialogues utterance-by-utterance; report per-utterance latency.
+
+    ``warmup_dialogues`` replays the first k dialogues unrecorded before
+    timing starts: ``warmup()`` covers compilation, but the very first
+    appends still pay one-time costs (host-side tracing caches, tunnel
+    connection reuse) that a long-lived server never sees again.
+    """
     session = StreamingSession(trainer, state, buckets)
     session.warmup()
+    for d in dialogues[:warmup_dialogues]:
+        session.reset()
+        for t in range(len(d)):
+            spk = int(np.argmax(d.qmask[t]))
+            session.append(d.text[t], d.audio[t], d.visual[t], spk)
     lat: List[float] = []
     for d in dialogues:
         session.reset()

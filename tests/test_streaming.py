@@ -70,3 +70,27 @@ def test_measure_latency_smoke(setup):
     stats = measure_latency(trainer, state, test[:1], buckets=(8, 16))
     assert stats["n"] == len(test[0])
     assert stats["p50_ms"] > 0 and stats["p99_ms"] >= stats["p50_ms"]
+
+
+def test_latency_bench_module(tmp_path):
+    """latency_bench.run produces the committed-artifact schema."""
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.serve import latency_bench
+
+    cfg = ExperimentConfig(batch_size=2, Deep_GCN_nlayers=2,
+                           graph_type="GDF", reason_flag=True, buckets=(16,))
+    stats = latency_bench.run(cfg=cfg, n_dialogues=2, min_len=4, max_len=6,
+                              buckets=(8,), seed=1)
+    for k in ("p50_ms", "p90_ms", "p99_ms", "mean_ms", "n", "platform",
+              "model", "buckets"):
+        assert k in stats, k
+    assert stats["n"] > 0 and stats["p50_ms"] > 0
+
+
+def test_measure_latency_warmup_dialogues(setup):
+    """warmup_dialogues replays unrecorded: n counts only the timed appends."""
+    from mmdfn_tpu.serve.streaming import measure_latency
+    trainer, state, test = setup
+    stats = measure_latency(trainer, state, test[:2], buckets=(16,),
+                            warmup_dialogues=1)
+    assert stats["n"] == len(test[0]) + len(test[1])
