@@ -118,6 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
     add("--buckets", type=str, default=None,
         help="comma-separated static padding lengths, e.g. 16,32,64,128,200 "
              "(one XLA executable per bucket)")
+    # DailyDialogue token frontend (--dataset DailyDialogue trains
+    # DialogueGCNDailyModel end-to-end; the reference ships the loader and
+    # model but never wires them, dataloader.py:71-101)
+    add("--vocab_size", type=int, default=5000)
+    add("--max_words", type=int, default=20,
+        help="static token-axis width per utterance (DailyDialogue)")
+    add("--embedding_dim", type=int, default=300)
+    add("--cnn_filters", type=int, default=50)
+    add("--cnn_output_size", type=int, default=100)
     return p
 
 
@@ -136,8 +145,14 @@ def config_from_args(args) -> "ExperimentConfig":
 
 def load_dialogues(cfg):
     """Dataset + split assembly (reference ``run_train_erc.py:29-89``)."""
-    from mmdfn_tpu.data.datasets import (IEMOCAPDataset, MELDDataset,
-                                         train_valid_split)
+    from mmdfn_tpu.data.datasets import (DailyDialogueDataset, IEMOCAPDataset,
+                                         MELDDataset, train_valid_split)
+    if cfg.dataset == "DailyDialogue":
+        # the DailyDialogue pickle carries its own train/test/valid id lists
+        # (dataloader.py:82-89) — valid_rate does not apply
+        return (DailyDialogueDataset("train", cfg.data_dir).dialogues(),
+                DailyDialogueDataset("valid", cfg.data_dir).dialogues(),
+                DailyDialogueDataset("test", cfg.data_dir).dialogues())
     ds_cls = {"IEMOCAP": IEMOCAPDataset, "MELD": MELDDataset}[cfg.dataset]
     train_all = ds_cls(cfg.data_dir, train=True).dialogues()
     test = ds_cls(cfg.data_dir, train=False).dialogues()
@@ -169,7 +184,11 @@ def main(argv=None) -> int:
         from mmdfn_tpu.runtime.mesh import make_mesh
         mesh = make_mesh(n_data=args.n_data_devices)
 
-    trainer = Trainer(cfg, mesh=mesh)
+    if cfg.dataset == "DailyDialogue":
+        from mmdfn_tpu.train.daily_trainer import DailyTrainer
+        trainer = DailyTrainer(cfg, mesh=mesh)
+    else:
+        trainer = Trainer(cfg, mesh=mesh)
     train, valid, test = load_dialogues(cfg)
 
     if args.test_label:

@@ -47,6 +47,16 @@ DATASET_INFO = {
         D_audio=FEAT2DIM["MELD_audio"], D_visual=FEAT2DIM["denseface"],
         D_text=FEAT2DIM["MELD_text"],
     ),
+    # Token-id text-only dataset for DialogueGCNDailyModel; the reference
+    # ships the loader (dataloader.py:71-101) and model (model.py:1446-1545)
+    # but never wires them into a trainer — dims are build-side choices.
+    # Label ids follow the DailyDialog annotation scheme.
+    "DailyDialogue": dict(
+        n_speakers=2, n_classes=7,
+        target_names=["no_emo", "ang", "dis", "fea", "hap", "sad", "sur"],
+        class_weights=[1.0] * 7,
+        D_audio=0, D_visual=0, D_text=100,
+    ),
 }
 
 
@@ -116,6 +126,13 @@ class ExperimentConfig:
                                              # f32 regardless (arccos is
                                              # ill-conditioned near +/-1).
     log_jsonl: Optional[str] = None
+    # DailyDialogue token frontend (CNNFeatureExtractor, model.py:1410-1443;
+    # the reference hard-codes vocab/embedding sizes at its call sites)
+    vocab_size: int = 5000
+    max_words: int = 20                      # static token-axis width
+    embedding_dim: int = 300
+    cnn_filters: int = 50
+    cnn_output_size: int = 100
 
     @property
     def info(self) -> dict:

@@ -106,6 +106,10 @@ class TokenBatch:
     label: np.ndarray   # (B, L) int32
     vids: List[str] = dataclasses.field(default_factory=list)
 
+    @property
+    def n_valid(self) -> int:
+        return int(self.umask.sum())
+
 
 def collate_tokens(dialogues: Sequence, batch_size: int, bucket: int,
                    n_speakers: int = 2,
@@ -162,7 +166,10 @@ class BucketBatcher:
         for s in range(0, len(order), self.batch_size):
             chunk = [self.dialogues[i] for i in order[s:s + self.batch_size]]
             L = bucket_length(max(len(d) for d in chunk), self.buckets)
-            yield collate(chunk, self.batch_size, L, self.n_speakers)
+            yield self._collate(chunk, L)
+
+    def _collate(self, chunk, L):
+        return collate(chunk, self.batch_size, L, self.n_speakers)
 
     def __iter__(self) -> Iterator[Batch]:
         return self.epoch(0)
@@ -170,6 +177,27 @@ class BucketBatcher:
     def num_batches(self) -> int:
         n = len(self.dialogues)
         return (n + self.batch_size - 1) // self.batch_size
+
+
+class TokenBucketBatcher(BucketBatcher):
+    """Bucketed batcher over :class:`TokenDialogue` samples (DailyDialogue).
+
+    ``max_words`` is FIXED across the epoch so every batch shares one static
+    word-axis width — a per-batch max (the torch-ish formulation) would give
+    each batch its own (B, L, W) shape and recompile the TextCNN per batch.
+    """
+
+    def __init__(self, dialogues: Sequence, batch_size: int, max_words: int,
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 shuffle: bool = False, seed: int = 2021,
+                 sort_by_length: bool = False, n_speakers: int = 2):
+        super().__init__(dialogues, batch_size, n_speakers, buckets,
+                         shuffle, seed, sort_by_length)
+        self.max_words = max_words
+
+    def _collate(self, chunk, L):
+        return collate_tokens(chunk, self.batch_size, L, self.n_speakers,
+                              max_words=self.max_words)
 
 
 def make_epoch_batches(dialogues, batch_size, n_speakers, epoch=0,

@@ -166,23 +166,49 @@ class Trainer:
                          "graph_model=False")
 
     # ------------------------------------------------------------------
+    # Model-family hooks: subclasses with a different input signature
+    # (e.g. DailyTrainer's token-id batches) override these four.
+    def _apply_model(self, params, batch, deterministic, rngs=None,
+                     **apply_kw):
+        return self.model.apply(
+            {"params": params}, batch["text"], batch["qmask"],
+            batch["umask"], batch["audio"], batch["visual"],
+            deterministic=deterministic, rngs=rngs, **apply_kw)
+
+    def _init_variables(self, rng, example):
+        return self.model.init(
+            rng, example["text"], example["qmask"], example["umask"],
+            example["audio"], example["visual"], deterministic=True)
+
+    def _example_inputs(self) -> Dict[str, jnp.ndarray]:
+        cfg, info = self.cfg, self.cfg.info
+        B, L = 2, 8
+        return dict(
+            text=jnp.zeros((B, L, cfg.D_m)),
+            audio=jnp.zeros((B, L, info["D_audio"])),
+            visual=jnp.zeros((B, L, info["D_visual"])),
+            qmask=jnp.zeros((B, L, info["n_speakers"])),
+            umask=jnp.ones((B, L)),
+            label=jnp.zeros((B, L), jnp.int32))
+
+    def _prepare(self, batch) -> Dict[str, jnp.ndarray]:
+        return prepare_inputs(self.cfg, batch)
+
+    def _make_batcher(self, dialogues, shuffle: bool = False) -> BucketBatcher:
+        cfg = self.cfg
+        return BucketBatcher(
+            dialogues, cfg.batch_size, cfg.info["n_speakers"], cfg.buckets,
+            shuffle=shuffle, seed=cfg.seed,
+            sort_by_length=cfg.sort_batches_by_length if shuffle else False)
+
+    # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None,
                    example: Optional[Dict[str, jnp.ndarray]] = None) -> TrainState:
         cfg = self.cfg
         if example is None:
-            info = cfg.info
-            B, L = 2, 8
-            example = dict(
-                text=jnp.zeros((B, L, cfg.D_m)),
-                audio=jnp.zeros((B, L, info["D_audio"])),
-                visual=jnp.zeros((B, L, info["D_visual"])),
-                qmask=jnp.zeros((B, L, info["n_speakers"])),
-                umask=jnp.ones((B, L)),
-                label=jnp.zeros((B, L), jnp.int32))
+            example = self._example_inputs()
         rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
-        variables = self.model.init(
-            rng, example["text"], example["qmask"], example["umask"],
-            example["audio"], example["visual"], deterministic=True)
+        variables = self._init_variables(rng, example)
         params = variables["params"]
         state = TrainState(params=params, opt_state=self.tx.init(params),
                            step=jnp.zeros((), jnp.int32))
@@ -198,14 +224,11 @@ class Trainer:
         return masked_nll_loss(log_probs, label, umask, weight=self.alpha)
 
     def _build_steps(self):
-        model, cfg = self.model, self.cfg
+        cfg = self.cfg
 
         def forward(params, batch, deterministic, rng):
             rngs = None if deterministic else {"dropout": rng}
-            return model.apply(
-                {"params": params}, batch["text"], batch["qmask"],
-                batch["umask"], batch["audio"], batch["visual"],
-                deterministic=deterministic, rngs=rngs)
+            return self._apply_model(params, batch, deterministic, rngs)
 
         def loss_fn(params, batch, rng):
             logp = forward(params, batch, False, rng)
@@ -288,7 +311,7 @@ class Trainer:
                 batch, inputs = item
             else:
                 batch = item
-                inputs = self._put(prepare_inputs(cfg, batch))
+                inputs = self._put(self._prepare(batch))
             n_dia_total += int((batch.umask.sum(-1) > 0).sum())
             n_utt_total += batch.n_valid
             if train:
@@ -353,17 +376,11 @@ class Trainer:
         (SURVEY.md §5.3/§5.4).
         """
         cfg = self.cfg
-        info = cfg.info
-        train_batcher = BucketBatcher(
-            train_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets,
-            shuffle=True, seed=cfg.seed,
-            sort_by_length=cfg.sort_batches_by_length)
+        train_batcher = self._make_batcher(train_dialogues, shuffle=True)
         # fixed eval splits: convert + transfer to device ONCE, not per epoch
-        prep = lambda b: (b, self._put(prepare_inputs(cfg, b)))
-        valid_batches = [prep(b) for b in BucketBatcher(
-            valid_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets)]
-        test_batches = [prep(b) for b in BucketBatcher(
-            test_dialogues, cfg.batch_size, info["n_speakers"], cfg.buckets)]
+        prep = lambda b: (b, self._put(self._prepare(b)))
+        valid_batches = [prep(b) for b in self._make_batcher(valid_dialogues)]
+        test_batches = [prep(b) for b in self._make_batcher(test_dialogues)]
         if state is None:
             state = self.init_state()
 
@@ -515,9 +532,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, state: TrainState, dialogues) -> EpochMetrics:
-        cfg = self.cfg
-        batches = list(BucketBatcher(dialogues, cfg.batch_size,
-                                     cfg.info["n_speakers"], cfg.buckets))
+        batches = list(self._make_batcher(dialogues))
         _, m = self.run_epoch(state, batches, full_report=True)
         return m
 
@@ -529,14 +544,10 @@ class Trainer:
 
         Written as one ``.npz`` keyed by flax module path.
         """
-        cfg = self.cfg
-        batch = next(iter(BucketBatcher(
-            dialogues, cfg.batch_size, cfg.info["n_speakers"], cfg.buckets)))
-        inputs = prepare_inputs(cfg, batch)
-        _, mods = self.model.apply(
-            {"params": state.params}, inputs["text"], inputs["qmask"],
-            inputs["umask"], inputs["audio"], inputs["visual"],
-            deterministic=True, capture_intermediates=True,
+        batch = next(iter(self._make_batcher(dialogues)))
+        inputs = self._prepare(batch)
+        _, mods = self._apply_model(
+            state.params, inputs, True, capture_intermediates=True,
             mutable=["intermediates"])
         flat = {}
         for path, leaf in jax.tree_util.tree_leaves_with_path(
