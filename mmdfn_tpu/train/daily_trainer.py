@@ -18,12 +18,16 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+import optax
 
 from mmdfn_tpu.config import (D_A, D_E, D_G, D_H, D_P, GRAPH_H, MAX_SEQ_LEN,
                               ExperimentConfig)
 from mmdfn_tpu.data.batching import TokenBucketBatcher
-from mmdfn_tpu.train.trainer import Trainer
+from mmdfn_tpu.train.optim import torch_adam
+from mmdfn_tpu.train.trainer import Trainer, TrainState
 
 
 class DailyTrainer(Trainer):
@@ -78,3 +82,47 @@ class DailyTrainer(Trainer):
             shuffle=shuffle, seed=cfg.seed,
             sort_by_length=cfg.sort_batches_by_length if shuffle else False,
             n_speakers=cfg.info["n_speakers"])
+
+    # ------------------------------------------------------------------
+    def init_pretrained_embeddings(self, state: TrainState,
+                                   vectors: np.ndarray,
+                                   freeze: bool = True) -> TrainState:
+        """Inject pretrained word vectors into the TextCNN embedding table.
+
+        Functional counterpart of the reference's
+        ``CNNFeatureExtractor.init_pretrained_embeddings_from_numpy``
+        (``model.py:1421-1423``), which overwrites the embedding weight and
+        sets ``requires_grad=False``.  Here the table is replaced in the
+        params pytree and, when ``freeze`` is set, the optimizer is rebuilt
+        as an ``optax.multi_transform`` that zeroes that leaf's updates —
+        the jitted steps are re-derived and the optimizer state is
+        re-initialized (call BEFORE training, as the reference does).
+        """
+        cfg = self.cfg
+        vectors = np.asarray(vectors, np.float32)
+        expect = (cfg.vocab_size, cfg.embedding_dim)
+        if vectors.shape != expect:
+            raise ValueError(f"pretrained embeddings shape {vectors.shape} "
+                             f"!= (vocab_size, embedding_dim) {expect}")
+        emb_path = ("cnn_feat_extractor", "embedding")
+        params = jax.tree_util.tree_map(lambda x: x, state.params)
+        sub = dict(params)
+        inner = dict(sub[emb_path[0]])
+        inner[emb_path[1]] = jnp.asarray(vectors)
+        sub[emb_path[0]] = inner
+        params = sub
+        if freeze:
+            def label(path, _):
+                keys = tuple(getattr(k, "key", k) for k in path)
+                return "frozen" if keys[:2] == emb_path else "train"
+            labels = jax.tree_util.tree_map_with_path(label, params)
+            self.tx = optax.multi_transform(
+                {"train": torch_adam(cfg.lr, weight_decay=cfg.l2),
+                 "frozen": optax.set_to_zero()}, labels)
+            self._train_step, self._eval_step = self._build_steps()
+        state = TrainState(params=params, opt_state=self.tx.init(params),
+                           step=state.step)
+        if self.mesh is not None:
+            from mmdfn_tpu.runtime.mesh import replicate
+            state = replicate(self.mesh, state)
+        return state

@@ -89,3 +89,34 @@ def test_daily_cli_dispatch(daily_setup, tmp_path, capsys):
     rows = [json.loads(l) for l in open(log)]
     assert len(rows) == 1 and np.isfinite(rows[0]["train_loss"])
     assert os.path.isdir(save)
+
+
+def test_daily_pretrained_embeddings_frozen(daily_setup):
+    """Injected GloVe-style table is used verbatim and stays frozen under
+    training while other params move (model.py:1421-1423 semantics)."""
+    import jax
+
+    cfg, path = daily_setup
+    trainer = DailyTrainer(cfg)
+    state = trainer.init_state()
+    rng = np.random.default_rng(7)
+    vectors = rng.standard_normal(
+        (cfg.vocab_size, cfg.embedding_dim)).astype(np.float32)
+    state = trainer.init_pretrained_embeddings(state, vectors, freeze=True)
+    emb = np.asarray(state.params["cnn_feat_extractor"]["embedding"])
+    np.testing.assert_array_equal(emb, vectors)
+
+    train = DailyDialogueDataset("train", path).dialogues()
+    batches = list(trainer._make_batcher(train))
+    key = jax.random.PRNGKey(0)
+    fc_before = np.asarray(state.params["cnn_feat_extractor"]["fc"]["kernel"])
+    for i, b in enumerate(batches[:3]):
+        state, loss, _ = trainer._train_step(
+            state, trainer._prepare(b), jax.random.fold_in(key, i))
+    emb_after = np.asarray(state.params["cnn_feat_extractor"]["embedding"])
+    fc_after = np.asarray(state.params["cnn_feat_extractor"]["fc"]["kernel"])
+    np.testing.assert_array_equal(emb_after, vectors)   # frozen
+    assert np.abs(fc_after - fc_before).max() > 0       # others train
+
+    with pytest.raises(ValueError):
+        trainer.init_pretrained_embeddings(state, vectors[:, :-1])
