@@ -74,6 +74,10 @@ def main(argv=None) -> int:
                     help="train same-shape configs simultaneously via "
                          "stacked parameters (measured ~3x faster than "
                          "sequential on one v5e chip)")
+    ap.add_argument("--n_data_devices", type=int, default=0,
+                    help="with --vmap: shard the stacked config axis over "
+                         "this many devices (config parallelism; each device "
+                         "trains its slice of the grid, zero collectives)")
     args = ap.parse_args(argv)
     out_dir = args.out_dir or f"outputs/sweep_{args.dataset.lower()}"
     os.makedirs(out_dir, exist_ok=True)
@@ -99,7 +103,12 @@ def main(argv=None) -> int:
 
     if args.vmap:
         from mmdfn_tpu.train.vmap_sweep import run_grouped_sweep
-        results = run_grouped_sweep(base, todo, train, test, verbose=True)
+        mesh = None
+        if args.n_data_devices:
+            from mmdfn_tpu.runtime.mesh import make_mesh
+            mesh = make_mesh(n_data=args.n_data_devices)
+        results = run_grouped_sweep(base, todo, train, test, verbose=True,
+                                    mesh=mesh)
         with open(summary_path, "a") as f:
             for res in results:
                 for k, combo in enumerate(res.combos):

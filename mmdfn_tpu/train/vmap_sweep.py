@@ -18,6 +18,13 @@ run (IEMOCAP's 32-combo grid = 4 groups of 8).
 Early stopping is per-config via an update *freeze mask*: a stopped config's
 parameter updates are multiplied by zero (same math as stopping, no ragged
 control flow), and the group stops when every config is frozen.
+
+Multi-chip: pass a ``Mesh`` and the stacked config axis K is sharded over the
+mesh's data axis — each device trains its slice of the hyperparameter grid
+(config parallelism).  The batch is replicated, every config's step is
+independent, so there are ZERO collectives in the step; scaling is linear in
+devices up to K.  This is the idiomatic pod-scale replacement for the
+reference's sequential bash grid (``script/run_train_ie.sh:26-60``).
 """
 
 from __future__ import annotations
@@ -99,33 +106,67 @@ def _adam_update(grads, state, params, lr, l2, freeze):
 class VmapSweep:
     """Train K same-shape configs simultaneously via stacked parameters."""
 
-    def __init__(self, base_cfg: ExperimentConfig, combos: Sequence[dict]):
+    def __init__(self, base_cfg: ExperimentConfig, combos: Sequence[dict],
+                 mesh=None):
         static, dynamic = {}, []
         for k, v in combos[0].items():
             if all(c.get(k) == v for c in combos) and k not in ("lr", "l2",
                                                                "gamma"):
                 static[k] = v
         self.combos = list(combos)
+        self.real_K = len(combos)
+        self.mesh = mesh
+        combos = list(combos)
+        if mesh is not None:
+            # pad the config axis to a multiple of the mesh data axis with
+            # copies of the last combo: padding trains frozen (no updates)
+            # and its results are dropped, so sharding never constrains what
+            # grid slices the user may run
+            from mmdfn_tpu.runtime.mesh import DATA_AXIS
+            n = mesh.shape[DATA_AXIS]
+            pad = (-len(combos)) % n
+            combos = combos + [dict(combos[-1])] * pad
         self.K = len(combos)
+        self._pad_mask = np.zeros(self.K, bool)
+        self._pad_mask[self.real_K:] = True
         self.cfg = dataclasses.replace(base_cfg, **static)
         self.trainer = Trainer(self.cfg)    # provides model + input prep
-        self.lr = jnp.asarray([c["lr"] for c in combos], jnp.float32)
-        self.l2 = jnp.asarray([c["l2"] for c in combos], jnp.float32)
-        self.gamma = jnp.asarray([c.get("gamma", base_cfg.gamma)
-                                  for c in combos], jnp.float32)
+        self.lr = self._shard_k(jnp.asarray([c["lr"] for c in combos],
+                                            jnp.float32))
+        self.l2 = self._shard_k(jnp.asarray([c["l2"] for c in combos],
+                                            jnp.float32))
+        self.gamma = self._shard_k(jnp.asarray(
+            [c.get("gamma", base_cfg.gamma) for c in combos], jnp.float32))
         alpha = self.cfg.class_weights_or_none()
         self.alpha = None if alpha is None else jnp.asarray(alpha)
         self._train_step, self._eval_step = self._build()
+
+    # ------------------------------------------------------------------
+    def _shard_k(self, tree):
+        """Shard leading (config) axis over the mesh data axis; no-op without
+        a mesh.  Works on single arrays and pytrees."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mmdfn_tpu.runtime.mesh import DATA_AXIS
+        s = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from mmdfn_tpu.runtime.mesh import replicate
+        return replicate(self.mesh, tree)
 
     # ------------------------------------------------------------------
     def init_states(self):
         """Same seed for every config (reference seeds all runs with 2021)."""
         base = self.trainer.init_state()
         stack = lambda p: jnp.broadcast_to(p[None], (self.K,) + p.shape)
-        params = jax.tree_util.tree_map(stack, base.params)
+        params = self._shard_k(jax.tree_util.tree_map(stack, base.params))
         m, v, t = _adam_init(params)
         t = jnp.zeros((self.K,), jnp.float32)
-        return params, (m, v, t)
+        return params, self._shard_k((m, v, t))
 
     def _build(self):
         model = self.trainer.model
@@ -183,7 +224,7 @@ class VmapSweep:
         test_batches = list(BucketBatcher(test_dialogues, cfg.batch_size,
                                           info["n_speakers"], cfg.buckets))
         params, opt = self.init_states()
-        freeze = jnp.zeros((K,), jnp.float32)
+        freeze = self._shard_k(jnp.asarray(self._pad_mask, jnp.float32))
 
         best_f = np.full(K, -1.0)
         best_epoch = np.full(K, -1, dtype=int)
@@ -197,14 +238,14 @@ class VmapSweep:
         for e in range(cfg.epochs):
             key = jax.random.PRNGKey(cfg.seed)  # faithful per-epoch reseed
             for i, batch in enumerate(batcher.epoch(e)):
-                inputs = prepare_inputs(cfg, batch)
+                inputs = self._replicate(prepare_inputs(cfg, batch))
                 params, opt, _, _ = self._train_step(
                     params, opt, inputs, jax.random.fold_in(key, i), freeze)
 
             # stacked eval over the test split
             losses, preds_all, labels = [], [], []
             for batch in test_batches:
-                inputs = prepare_inputs(cfg, batch)
+                inputs = self._replicate(prepare_inputs(cfg, batch))
                 loss_k, preds_k = self._eval_step(params, inputs)
                 m = batch.umask.reshape(-1) > 0
                 losses.append(np.asarray(loss_k))
@@ -231,8 +272,9 @@ class VmapSweep:
                     best_loss[k], patience2[k] = loss_k[k], 0
                 else:
                     patience2[k] += 1
-            stop = (patience >= cfg.patience) & (patience2 >= cfg.patience)
-            freeze = jnp.asarray(stop.astype(np.float32))
+            stop = ((patience >= cfg.patience) & (patience2 >= cfg.patience)
+                    ) | self._pad_mask
+            freeze = self._shard_k(jnp.asarray(stop.astype(np.float32)))
             if verbose:
                 print(f"epoch {e}: fscores "
                       f"{[all_f[k][-1] for k in range(K)]} "
@@ -240,23 +282,26 @@ class VmapSweep:
             if stop.all():
                 break
 
+        R = self.real_K                      # drop sharding-padding entries
         return GroupResult(
             combos=self.combos,
-            best_epoch=[int(b) for b in best_epoch],
-            best_test_fscore=[all_f[k][best_epoch[k]] for k in range(K)],
-            best_test_acc=[all_a[k][best_epoch[k]] for k in range(K)],
-            history=history)
+            best_epoch=[int(b) for b in best_epoch[:R]],
+            best_test_fscore=[all_f[k][best_epoch[k]] for k in range(R)],
+            best_test_acc=[all_a[k][best_epoch[k]] for k in range(R)],
+            history=history[:R])
 
 
 def run_grouped_sweep(base_cfg: ExperimentConfig, combos: Sequence[dict],
                       train_dialogues, test_dialogues,
-                      verbose: bool = True) -> List[GroupResult]:
+                      verbose: bool = True, mesh=None) -> List[GroupResult]:
     """Partition a sweep grid into static groups and vmap-train each."""
     results = []
     for static, group in group_combos(combos):
         if verbose:
-            print(f"group {static}: {len(group)} configs vmapped")
+            where = (f" sharded over {mesh.devices.size} devices"
+                     if mesh is not None else "")
+            print(f"group {static}: {len(group)} configs vmapped{where}")
         cfg = dataclasses.replace(base_cfg, **static)
-        sweep = VmapSweep(cfg, group)
+        sweep = VmapSweep(cfg, group, mesh=mesh)
         results.append(sweep.run(train_dialogues, test_dialogues, verbose))
     return results

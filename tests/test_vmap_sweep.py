@@ -66,3 +66,41 @@ def test_vmap_configs_diverge(data):
                        dict(lr=1e-5, l2=1e-4, gamma=0.5)])
     res = sweep.run(train, test, verbose=False)
     assert res.history[0] != res.history[1]
+
+
+def test_vmap_sweep_sharded_over_mesh_matches_unsharded(data):
+    """Config-axis sharding over the 8-device mesh is a pure layout change:
+    per-epoch metrics must match the single-device vmapped run exactly."""
+    from mmdfn_tpu.runtime.mesh import make_mesh
+
+    train, test = data
+    cfg = base_cfg()
+    combos = [dict(lr=lr, l2=l2, gamma=g)
+              for lr in (3e-3, 1e-3) for l2 in (1e-4, 2e-4)
+              for g in (0.5, 1.0)]                       # K=8
+    plain = VmapSweep(cfg, combos).run(train, test, verbose=False)
+    mesh = make_mesh(n_data=8)
+    sharded = VmapSweep(cfg, combos, mesh=mesh).run(train, test,
+                                                    verbose=False)
+    assert sharded.history == plain.history
+    assert sharded.best_test_fscore == plain.best_test_fscore
+
+
+def test_vmap_sweep_mesh_pads_ragged_config_count(data):
+    """K not divisible by the mesh: the config axis auto-pads with frozen
+    copies and the padding is dropped from the results."""
+    from mmdfn_tpu.runtime.mesh import make_mesh
+
+    train, test = data
+    cfg = base_cfg(epochs=1)
+    combos = [dict(lr=3e-3, l2=1e-4, gamma=0.5),
+              dict(lr=1e-3, l2=2e-4, gamma=1.0),
+              dict(lr=1e-4, l2=1e-4, gamma=0.5)]          # K=3 on 8 devices
+    sweep = VmapSweep(cfg, combos, mesh=make_mesh(n_data=8))
+    assert sweep.K == 8 and sweep.real_K == 3
+    res = sweep.run(train, test, verbose=False)
+    assert len(res.best_test_fscore) == 3
+    assert len(res.history) == 3
+
+    plain = VmapSweep(cfg, combos).run(train, test, verbose=False)
+    assert res.history == plain.history
