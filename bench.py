@@ -54,10 +54,12 @@ def main():
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.train import Trainer
 
+    # production config: bf16 GCNII scan (measured +12% end-to-end in
+    # interleaved runs; parity tests pin the f32 default separately)
     cfg = ExperimentConfig(
         dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
         class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
-        speaker_weights="3-0-1")
+        speaker_weights="3-0-1", gcn_compute_dtype="bfloat16")
     trainer = Trainer(cfg)
     state = trainer.init_state()
 
@@ -103,7 +105,7 @@ def main():
     # round-over-round regressions under the noise floor stay visible
     print(json.dumps({
         "metric": "MM-DFN flagship train dialogues/sec "
-                  f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers, "
+                  f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers bf16-scan, "
                   f"{jax.devices()[0].platform})",
         "value": round(dps, 2),
         "unit": "dialogues/sec",

@@ -126,6 +126,12 @@ class ExperimentConfig:
                                              # f32 regardless (arccos is
                                              # ill-conditioned near +/-1).
     log_jsonl: Optional[str] = None
+    gcn_compute_dtype: Optional[str] = None  # 'bfloat16' runs the GCNII layer
+                                             # scan in bf16 (params stay f32,
+                                             # adjacency built in f32) —
+                                             # measured 1.4x on the stack;
+                                             # off by default for strict
+                                             # reference-f32 parity
     # DailyDialogue token frontend (CNNFeatureExtractor, model.py:1410-1443;
     # the reference hard-codes vocab/embedding sizes at its call sites)
     vocab_size: int = 5000

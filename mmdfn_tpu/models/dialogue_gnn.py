@@ -78,6 +78,7 @@ class DialogueGNN(nn.Module):
     active_listener: bool = False
     attention: str = "general"
     rec_dropout: float = 0.1
+    gcn_compute_dtype: Optional[str] = None  # 'bfloat16' GCNII scan fast path
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig) -> "DialogueGNN":
@@ -116,6 +117,7 @@ class DialogueGNN(nn.Module):
             active_listener=cfg.active_listener,
             attention=cfg.attention,
             rec_dropout=cfg.rec_dropout,
+            gcn_compute_dtype=cfg.gcn_compute_dtype,
         )
 
     @property
@@ -254,7 +256,8 @@ class DialogueGNN(nn.Module):
                 use_residue=self.use_residue, n_speakers=self.n_speakers,
                 modals=self.modals, use_speaker=self.use_speaker,
                 use_modal=self.use_modal, reason_flag=reason,
-                modal_weight=self.modal_weight, name="graph_model")
+                modal_weight=self.modal_weight,
+                compute_dtype=self.gcn_compute_dtype, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -269,7 +272,8 @@ class DialogueGNN(nn.Module):
                 nclass=self.n_classes, dropout=self.dropout, lamda=0.5,
                 alpha=0.1, variant=True, return_feature=True,
                 use_residue=self.use_residue, modals=self.modals,
-                mm_graph=self.graph_construct, name="graph_model")
+                mm_graph=self.graph_construct,
+                compute_dtype=self.gcn_compute_dtype, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -331,7 +335,7 @@ class DialogueGNN(nn.Module):
                     dropout=self.dropout, lamda=lam, alpha=alp, variant=True,
                     return_feature=self.multi_modal,
                     use_residue=self.use_residue, reason_flag=self.reason_flag,
-                    name=name)
+                    compute_dtype=self.gcn_compute_dtype, name=name)
 
             if not self.multi_modal:
                 return make_net("graph_net")(

@@ -59,6 +59,7 @@ class MMGCN(nn.Module):
     use_modal: bool = False
     reason_flag: bool = False
     modal_weight: float = 1.0
+    compute_dtype: Optional[str] = None   # 'bfloat16' scan fast path
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -93,7 +94,8 @@ class MMGCN(nn.Module):
             nlayers=self.nlayers, nhidden=self.nhidden, dropout=self.dropout,
             lamda=self.lamda, alpha=self.alpha, variant=self.variant,
             reason_flag=self.reason_flag, has_fc_in=True,
-            dropout_mode="after", post_loop_dropout=False, name="graph_net")
+            dropout_mode="after", post_loop_dropout=False,
+            compute_dtype=self.compute_dtype, name="graph_net")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)   # model_GCN.py:482-483
@@ -132,6 +134,7 @@ class MMGCN2(nn.Module):
     use_residue: bool = True
     modals: str = "avl"
     mm_graph: str = "direct"
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -164,7 +167,8 @@ class MMGCN2(nn.Module):
             nlayers=self.nlayers, nhidden=self.nhidden, dropout=self.dropout,
             lamda=self.lamda, alpha=self.alpha, variant=self.variant,
             reason_flag=False, has_fc_in=False,
-            dropout_mode="before", post_loop_dropout=True, name="convs")
+            dropout_mode="before", post_loop_dropout=True,
+            compute_dtype=self.compute_dtype, name="convs")
         _, h = stack(x, adj, deterministic=deterministic)
 
         parts = [h[:, i * L:(i + 1) * L] for i in range(len(modals))]
@@ -195,6 +199,7 @@ class DeepGCNII(nn.Module):
     reason_flag: bool = False
     lyc: bool = False
     new_graph: bool = False
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qmask: jnp.ndarray, umask: jnp.ndarray,
@@ -214,7 +219,8 @@ class DeepGCNII(nn.Module):
             lamda=self.lamda, alpha=self.alpha, variant=self.variant,
             reason_flag=self.reason_flag, has_fc_in=True,
             dropout_mode="after" if self.lyc else "none",
-            post_loop_dropout=not self.lyc, name="stack")
+            post_loop_dropout=not self.lyc,
+            compute_dtype=self.compute_dtype, name="stack")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)

@@ -82,6 +82,13 @@ class GCNIIStack(nn.Module):
     has_fc_in: bool = True
     dropout_mode: str = "after"      # 'before' | 'after' | 'none' (in-loop)
     post_loop_dropout: bool = False
+    compute_dtype: Optional[str] = None   # 'bfloat16': run the layer scan in
+                                          # bf16 (params stay f32; the output
+                                          # is cast back).  Halves the scan's
+                                          # HBM traffic — measured 1.4x on
+                                          # the fwd+bwd stack at flagship
+                                          # shapes.  Off by default: strict
+                                          # reference parity needs f32.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -121,6 +128,20 @@ class GCNIIStack(nn.Module):
             lb_ih = self.param("reason_b_ih", init, (4 * H,))
             lb_hh = self.param("reason_b_hh", init, (4 * H,))
 
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        out_dtype = h.dtype
+        if cd is not None:
+            # cast once at the scan boundary: carry, residual anchor h0,
+            # adjacency, stacked weights and theta all live in bf16 so every
+            # in-loop tensor (the HBM-bound part) is half-width; python
+            # scalars (alpha) stay weakly typed and do not upcast
+            h, h0, adj = h.astype(cd), h0.astype(cd), adj.astype(cd)
+            W = W.astype(cd)
+            theta = theta.astype(cd)
+            if self.reason_flag:
+                lw_ih, lw_hh = lw_ih.astype(cd), lw_hh.astype(cd)
+                lb_ih, lb_hh = lb_ih.astype(cd), lb_hh.astype(cd)
+
         def lstm_step(h_in, state):
             hh, cc = state
             g = h_in @ lw_ih + lb_ih + hh @ lw_hh + lb_hh
@@ -149,6 +170,7 @@ class GCNIIStack(nn.Module):
 
         (h, _), _ = jax.lax.scan(
             body, (h, (zeros, zeros)), (W, theta, layer_keys), unroll=2)
+        h = h.astype(out_dtype)
 
         if self.post_loop_dropout and use_dropout:
             h = _dropout(h, keys[-3], self.dropout)

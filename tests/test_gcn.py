@@ -153,3 +153,62 @@ def test_deep_gcnii_and_mmgcn2_forward(rng):
     out2 = m2.apply(p2, {k: jnp.array(v) for k, v in feats.items()},
                     jnp.array(qmask), jnp.array(umask))
     assert out2.shape == (B, L, D + 3 * H)
+
+
+def test_gcnii_stack_bf16_compute_close_to_f32():
+    """compute_dtype='bfloat16' is a layout/speed change, not a different
+    network: same params, outputs within bf16 rounding of the f32 stack."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmdfn_tpu.nn.gcn import GCNIIStack
+
+    rng = np.random.default_rng(0)
+    B, N, H, L = 2, 24, 8, 16
+    x = jnp.asarray(rng.standard_normal((B, N, H)).astype(np.float32))
+    adj = jnp.asarray(rng.standard_normal((B, N, N)).astype(np.float32)) / N
+
+    kw = dict(nlayers=L, nhidden=H, dropout=0.0, alpha=0.2, reason_flag=True,
+              has_fc_in=True, dropout_mode="after")
+    f32 = GCNIIStack(**kw)
+    params = f32.init(jax.random.PRNGKey(0), x, adj)["params"]
+    _, h32 = f32.apply({"params": params}, x, adj)
+    bf = GCNIIStack(**kw, compute_dtype="bfloat16")
+    _, hbf = bf.apply({"params": params}, x, adj)
+
+    assert hbf.dtype == jnp.float32          # cast back at the boundary
+    denom = np.maximum(np.abs(np.asarray(h32)), 1e-3)
+    rel = np.abs(np.asarray(hbf) - np.asarray(h32)) / denom
+    # bf16 has ~3 significant digits; 16 recurrent layers of random weights
+    # compound the rounding, so the tail is loose while the bulk stays tight
+    assert rel.max() < 0.3, rel.max()
+    assert np.median(rel) < 0.02
+
+
+def test_flagship_forward_with_bf16_gcn():
+    """The flagship model accepts gcn_compute_dtype and stays close to f32."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.models.dialogue_gnn import DialogueGNN
+
+    cfg = ExperimentConfig(graph_type="GDF", reason_flag=True,
+                           Deep_GCN_nlayers=4, batch_size=2)
+    rng = np.random.default_rng(1)
+    B, L = 2, 6
+    umask = jnp.ones((B, L))
+    qmask = jax.nn.one_hot(jnp.asarray(rng.integers(0, 2, (B, L))), 2)
+    f = lambda D: jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    args = (f(100), qmask, umask, f(1582), f(342))
+
+    m32 = DialogueGNN.from_config(cfg)
+    params = m32.init(jax.random.PRNGKey(0), *args, deterministic=True)["params"]
+    out32 = m32.apply({"params": params}, *args, deterministic=True)
+    mbf = DialogueGNN.from_config(
+        dataclasses.replace(cfg, gcn_compute_dtype="bfloat16"))
+    outbf = mbf.apply({"params": params}, *args, deterministic=True)
+    # log-probs: absolute comparison is the meaningful one
+    assert np.abs(np.asarray(outbf) - np.asarray(out32)).max() < 0.15
+    assert np.isfinite(np.asarray(outbf)).all()
