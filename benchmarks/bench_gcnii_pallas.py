@@ -38,14 +38,23 @@ def xla_scan(adj, h, h0, W, theta, lstm_ih, lstm_hh, lstm_b):
     return h
 
 
-def timeit(fn, *args, steps=30):
-    out = fn(*args)
+def timeit(fn, h_arg, *args, steps=20):
+    """Chain the hidden state through successive calls: the data dependency
+    forces sequential device execution.  Pipelining independent calls and
+    blocking only on the last (the original formulation) produced ghost
+    readings over the tunneled chip — 0.032 ms for a stack whose honest
+    time is ~1.8 ms — because the async queue acks before execution."""
+    out = fn(h_arg, *args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+    best = float("inf")
+    for _ in range(3):
+        x = h_arg
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            x = fn(x, *args)
+        jax.block_until_ready(x)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best
 
 
 def main():
@@ -59,17 +68,18 @@ def main():
     lstm_hh = jnp.array(rng.standard_normal((H, 4 * H)).astype(np.float32)) * 0.1
     lstm_b = jnp.array(rng.standard_normal((4 * H,)).astype(np.float32)) * 0.1
 
-    xla_jit = jax.jit(xla_scan)
-    t_xla = timeit(xla_jit, adj, h, h0, W, theta, lstm_ih, lstm_hh, lstm_b)
+    xla_jit = jax.jit(lambda x: xla_scan(adj, x, h0, W, theta,
+                                         lstm_ih, lstm_hh, lstm_b))
+    t_xla = timeit(xla_jit, h)
 
-    fused = lambda *a: gcnii_stack_fused(
-        a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7],
-        alpha=ALPHA, variant=True, reason=True)
-    t_pal = timeit(fused, adj, h, h0, W, theta, lstm_ih, lstm_hh, lstm_b)
+    fused = jax.jit(lambda x: gcnii_stack_fused(
+        adj, x, h0, W, theta, lstm_ih, lstm_hh, lstm_b,
+        alpha=ALPHA, variant=True, reason=True))
+    t_pal = timeit(fused, h)
 
     # numerical agreement on-device
-    ref = xla_jit(adj, h, h0, W, theta, lstm_ih, lstm_hh, lstm_b)
-    got = fused(adj, h, h0, W, theta, lstm_ih, lstm_hh, lstm_b)
+    ref = xla_jit(h)
+    got = fused(h)
     err = float(jnp.max(jnp.abs(ref - got)))
 
     print(json.dumps({

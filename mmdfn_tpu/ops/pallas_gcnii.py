@@ -20,15 +20,17 @@ Scope: deterministic forward (eval/serving — dropout is off).  Training keeps
 the XLA scan whose backward XLA derives automatically.
 
 MEASURED VERDICT (benchmarks/bench_gcnii_pallas.py, TPU v5e, B=32 N=240 H=100
-16 layers + reason-LSTM): XLA scan 0.032 ms vs fused kernel 0.132 ms — the
-XLA formulation wins at the flagship shapes because its per-layer batched
-``(B, N, N) @ (B, N, H)`` matmul keeps the MXU saturated across the whole
-batch, while this kernel's grid serializes batch elements on the single v5e
-core and its per-element matmuls are too small to fill the systolic array.
-Per the build plan (SURVEY.md §7.9: "keep whichever wins") the XLA scan
-remains the production path; the kernel is retained as the measured
-alternative and as the basis for the large-graph/streaming regimes where
-adjacency reuse from VMEM pays off.
+16 layers + reason-LSTM, round-2 re-measurement with chained data
+dependencies): XLA f32 scan 1.83 ms, fused kernel 1.80 ms — **parity** on
+the forward.  (Round 1 recorded 0.032 ms vs 0.132 ms; both were async-queue
+ghost readings over the tunneled chip — the benchmark pipelined 30
+independent calls and blocked only on the last.  The adjacency re-read the
+kernel saves is only ~130 MB/stack ≈ 0.16 ms of HBM time, so VMEM residency
+cannot produce a large win at these shapes.)  Per SURVEY.md §7.9's
+keep-whichever-wins rule the XLA scan stays the production path — it also
+gets the backward for free and composes with ``compute_dtype='bfloat16'``
+(1.41x fwd+bwd, the optimization that actually pays at these shapes).  The
+kernel remains the measured alternative for large-graph regimes.
 
 Zero-padding safety: rows/cols >= the true N are zero in ``adj``/``h``/``h0``.
 Pad rows may develop nonzero values through LSTM biases, but pad *columns* of
