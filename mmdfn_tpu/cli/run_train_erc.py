@@ -117,6 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["float32", "bfloat16"],
         help="run the GCNII layer scan in bfloat16 (params/adjacency stay "
              "f32) — ~1.4x faster stack; default f32 for strict parity")
+    add("--rnn_compute_dtype", type=str, default=None,
+        choices=["float32", "bfloat16"],
+        help="run the encoder GRU/LSTM scans in bfloat16 (f32 masters)")
     add("--param_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
     add("--buckets", type=str, default=None,
@@ -146,6 +149,8 @@ def config_from_args(args) -> "ExperimentConfig":
         kw["matmul_precision"] = None
     if kw.get("gcn_compute_dtype") == "float32":
         kw["gcn_compute_dtype"] = None
+    if kw.get("rnn_compute_dtype") == "float32":
+        kw["rnn_compute_dtype"] = None
     return ExperimentConfig(**kw)
 
 

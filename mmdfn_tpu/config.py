@@ -132,6 +132,9 @@ class ExperimentConfig:
                                              # measured 1.4x on the stack;
                                              # off by default for strict
                                              # reference-f32 parity
+    rnn_compute_dtype: Optional[str] = None  # 'bfloat16' runs the encoder
+                                             # GRU/LSTM scans in bf16 (same
+                                             # master-weight scheme)
     # DailyDialogue token frontend (CNNFeatureExtractor, model.py:1410-1443;
     # the reference hard-codes vocab/embedding sizes at its call sites)
     vocab_size: int = 5000

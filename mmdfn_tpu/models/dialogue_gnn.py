@@ -79,6 +79,7 @@ class DialogueGNN(nn.Module):
     attention: str = "general"
     rec_dropout: float = 0.1
     gcn_compute_dtype: Optional[str] = None  # 'bfloat16' GCNII scan fast path
+    rnn_compute_dtype: Optional[str] = None  # 'bfloat16' encoder-RNN fast path
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig) -> "DialogueGNN":
@@ -118,6 +119,7 @@ class DialogueGNN(nn.Module):
             attention=cfg.attention,
             rec_dropout=cfg.rec_dropout,
             gcn_compute_dtype=cfg.gcn_compute_dtype,
+            rnn_compute_dtype=cfg.rnn_compute_dtype,
         )
 
     @property
@@ -142,11 +144,13 @@ class DialogueGNN(nn.Module):
                                        150 if self.modals in ("al", "vl") else 100)
                 U = TorchDense(hidden_, name="linear_")(text)
                 rnn = BiRNN(D_E, num_layers=2, bidirectional=True, cell="gru",
-                            dropout=self.dropout, name="lstm")
+                            dropout=self.dropout,
+                            compute_dtype=self.rnn_compute_dtype, name="lstm")
                 emo = rnn(U, umask, deterministic=deterministic)
                 if self.use_crn_speaker:
                     parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                     cell="gru", dropout=self.dropout,
+                                    compute_dtype=self.rnn_compute_dtype,
                                     name="rnn_parties")
                     delta = crn_party_delta(
                         lambda x, m, deterministic=True: parties(
@@ -157,6 +161,7 @@ class DialogueGNN(nn.Module):
             else:
                 parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                 cell="gru", dropout=self.dropout,
+                                compute_dtype=self.rnn_compute_dtype,
                                 name="rnn_parties")
 
                 proj = {}
@@ -166,6 +171,7 @@ class DialogueGNN(nn.Module):
                     base["a"] = proj["a"]
                     if self.av_using_lstm:
                         base["a"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                          compute_dtype=self.rnn_compute_dtype,
                                           name="lstm_a")(proj["a"], umask,
                                                          deterministic)
                 if "v" in modals:
@@ -173,11 +179,13 @@ class DialogueGNN(nn.Module):
                     base["v"] = proj["v"]
                     if self.av_using_lstm:
                         base["v"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                          compute_dtype=self.rnn_compute_dtype,
                                           name="lstm_v")(proj["v"], umask,
                                                          deterministic)
                 if "l" in modals:
                     proj["l"] = TorchDense(HIDDEN_MODALITY, name="linear_l")(text)
                     base["l"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                      compute_dtype=self.rnn_compute_dtype,
                                       name="lstm_l")(proj["l"], umask,
                                                      deterministic)
 
@@ -204,6 +212,7 @@ class DialogueGNN(nn.Module):
                         emotions[m] = base[m]
         elif self.base_model == "GRU":
             emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                                  compute_dtype=self.rnn_compute_dtype,
                                   name="gru")(text, umask, deterministic)
         elif self.base_model == "DialogRNN":
             # single-stream party-state base encoder (model.py:1021-1032);

@@ -97,6 +97,10 @@ class BiRNN(nn.Module):
     bidirectional: bool = True
     cell: str = "gru"          # "gru" | "lstm"
     dropout: float = 0.0
+    compute_dtype: Optional[str] = None   # 'bfloat16': run the scans in bf16
+                                          # (params stay f32 masters; output
+                                          # cast back) — same HBM-traffic
+                                          # rationale as GCNIIStack's flag
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, umask: Optional[jnp.ndarray] = None,
@@ -108,8 +112,10 @@ class BiRNN(nn.Module):
         scan = _gru_scan if self.cell == "gru" else _lstm_scan
         init = torch_init.rnn_uniform(H)
         directions = ("fwd", "bwd") if self.bidirectional else ("fwd",)
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        out_dtype = x.dtype
 
-        out = x
+        out = x if cd is None else x.astype(cd)
         for layer in range(self.num_layers):
             feats = []
             for d in directions:
@@ -119,11 +125,14 @@ class BiRNN(nn.Module):
                 w_hh = self.param(f"w_hh_{name}", init, (H, n_gates * H))
                 b_ih = self.param(f"b_ih_{name}", init, (n_gates * H,))
                 b_hh = self.param(f"b_hh_{name}", init, (n_gates * H,))
+                if cd is not None:
+                    w_ih, w_hh = w_ih.astype(cd), w_hh.astype(cd)
+                    b_ih, b_hh = b_ih.astype(cd), b_hh.astype(cd)
                 inp = out
                 if d == "bwd":
                     inp = flip_valid(inp, umask) if umask is not None else inp[:, ::-1]
                 xg = inp @ w_ih + b_ih
-                h0 = jnp.zeros((B, H), dtype=x.dtype)
+                h0 = jnp.zeros((B, H), dtype=inp.dtype)
                 if self.cell == "gru":
                     ys, _ = scan(xg, w_hh, b_hh, h0)
                 else:
@@ -134,7 +143,7 @@ class BiRNN(nn.Module):
             out = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return out
+        return out.astype(out_dtype)
 
 
 class GRUCellStep(nn.Module):

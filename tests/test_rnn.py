@@ -130,3 +130,26 @@ def test_crn_party_delta_matches_loop_oracle(rng):
             for k, t in enumerate(idx):
                 expect[b, t] = E[0, k]
     np.testing.assert_allclose(np.asarray(ours), expect, atol=1e-5)
+
+
+def test_birnn_bf16_compute_close_to_f32():
+    """compute_dtype='bfloat16' reuses the same f32 params and stays within
+    bf16 rounding of the f32 scans (output cast back to f32)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmdfn_tpu.nn.rnn import BiRNN
+
+    rng = np.random.default_rng(3)
+    B, L, D, H = 2, 12, 6, 5
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    umask = jnp.asarray((rng.random((B, L)) < 0.8).astype(np.float32))
+
+    kw = dict(hidden_size=H, num_layers=2, bidirectional=True, cell="gru")
+    m32 = BiRNN(**kw)
+    params = m32.init(jax.random.PRNGKey(0), x, umask)["params"]
+    y32 = m32.apply({"params": params}, x, umask)
+    ybf = BiRNN(**kw, compute_dtype="bfloat16").apply({"params": params},
+                                                      x, umask)
+    assert ybf.dtype == jnp.float32
+    assert np.abs(np.asarray(ybf) - np.asarray(y32)).max() < 0.05
