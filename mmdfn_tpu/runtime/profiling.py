@@ -98,8 +98,17 @@ def enable_compilation_cache(path: Optional[str] = None,
     TPU compiles of the 16-64 layer stacks take tens of seconds; the
     reference-style one-process-per-config sweep would pay that per combo.
     With the cache, recompiles of identical executables are disk hits.
+
+    CPU backends are a NO-OP: XLA:CPU caches AOT machine code whose feature
+    set is baked in at compile time, so an entry written on one host (or by
+    the remote compile service) SEGFAULTS when deserialized on a host with
+    different CPU features — observed as a hard crash inside
+    ``compilation_cache.get_executable_and_time`` during the test suite.
+    CPU compiles are seconds, not minutes; the cache only pays on TPU.
     """
     import os
+    if jax.default_backend() != "tpu":
+        return None
     path = path or os.environ.get(
         "MMDFN_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "mmdfn_tpu",
