@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("--rnn_compute_dtype", type=str, default=None,
         choices=["float32", "bfloat16"],
         help="run the encoder GRU/LSTM scans in bfloat16 (f32 masters)")
+    add("--gcn_scan_unroll", type=int, default=None,
+        help="unroll factor for the GCNII layer scan; default full unroll "
+             "(fastest on TPU), set e.g. 2 to cap program size/compile time")
+    add("--rnn_fuse_directions", action="store_true", default=False,
+        help="run each BiRNN layer's fwd+bwd directions in one scan "
+             "(identical math, fewer sequential scans)")
     add("--param_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
     add("--buckets", type=str, default=None,

@@ -135,6 +135,16 @@ class ExperimentConfig:
     rnn_compute_dtype: Optional[str] = None  # 'bfloat16' runs the encoder
                                              # GRU/LSTM scans in bf16 (same
                                              # master-weight scheme)
+    gcn_scan_unroll: Optional[int] = None    # GCNII layer-scan unroll; None =
+                                             # full unroll (fastest on TPU,
+                                             # larger program), int to cap
+                                             # program size / compile time
+    rnn_fuse_directions: bool = False        # run each BiRNN layer's fwd+bwd
+                                             # directions in ONE lax.scan
+                                             # (identical math; halves the
+                                             # sequential scan count — the
+                                             # flagship step's latency
+                                             # ceiling)
     # DailyDialogue token frontend (CNNFeatureExtractor, model.py:1410-1443;
     # the reference hard-codes vocab/embedding sizes at its call sites)
     vocab_size: int = 5000

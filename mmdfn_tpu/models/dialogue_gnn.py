@@ -80,6 +80,8 @@ class DialogueGNN(nn.Module):
     rec_dropout: float = 0.1
     gcn_compute_dtype: Optional[str] = None  # 'bfloat16' GCNII scan fast path
     rnn_compute_dtype: Optional[str] = None  # 'bfloat16' encoder-RNN fast path
+    gcn_scan_unroll: Optional[int] = None    # GCNII layer-scan unroll cap
+    rnn_fuse_directions: bool = False        # fwd+bwd in one scan per layer
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig) -> "DialogueGNN":
@@ -120,6 +122,8 @@ class DialogueGNN(nn.Module):
             rec_dropout=cfg.rec_dropout,
             gcn_compute_dtype=cfg.gcn_compute_dtype,
             rnn_compute_dtype=cfg.rnn_compute_dtype,
+            gcn_scan_unroll=cfg.gcn_scan_unroll,
+            rnn_fuse_directions=cfg.rnn_fuse_directions,
         )
 
     @property
@@ -145,12 +149,14 @@ class DialogueGNN(nn.Module):
                 U = TorchDense(hidden_, name="linear_")(text)
                 rnn = BiRNN(D_E, num_layers=2, bidirectional=True, cell="gru",
                             dropout=self.dropout,
-                            compute_dtype=self.rnn_compute_dtype, name="lstm")
+                            compute_dtype=self.rnn_compute_dtype,
+                            fuse_directions=self.rnn_fuse_directions, name="lstm")
                 emo = rnn(U, umask, deterministic=deterministic)
                 if self.use_crn_speaker:
                     parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                     cell="gru", dropout=self.dropout,
                                     compute_dtype=self.rnn_compute_dtype,
+                                    fuse_directions=self.rnn_fuse_directions,
                                     name="rnn_parties")
                     delta = crn_party_delta(
                         lambda x, m, deterministic=True: parties(
@@ -162,6 +168,7 @@ class DialogueGNN(nn.Module):
                 parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                 cell="gru", dropout=self.dropout,
                                 compute_dtype=self.rnn_compute_dtype,
+                                fuse_directions=self.rnn_fuse_directions,
                                 name="rnn_parties")
 
                 proj = {}
@@ -172,6 +179,7 @@ class DialogueGNN(nn.Module):
                     if self.av_using_lstm:
                         base["a"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                           compute_dtype=self.rnn_compute_dtype,
+                                          fuse_directions=self.rnn_fuse_directions,
                                           name="lstm_a")(proj["a"], umask,
                                                          deterministic)
                 if "v" in modals:
@@ -180,12 +188,14 @@ class DialogueGNN(nn.Module):
                     if self.av_using_lstm:
                         base["v"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                           compute_dtype=self.rnn_compute_dtype,
+                                          fuse_directions=self.rnn_fuse_directions,
                                           name="lstm_v")(proj["v"], umask,
                                                          deterministic)
                 if "l" in modals:
                     proj["l"] = TorchDense(HIDDEN_MODALITY, name="linear_l")(text)
                     base["l"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                       compute_dtype=self.rnn_compute_dtype,
+                                      fuse_directions=self.rnn_fuse_directions,
                                       name="lstm_l")(proj["l"], umask,
                                                      deterministic)
 
@@ -213,6 +223,7 @@ class DialogueGNN(nn.Module):
         elif self.base_model == "GRU":
             emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                   compute_dtype=self.rnn_compute_dtype,
+                                  fuse_directions=self.rnn_fuse_directions,
                                   name="gru")(text, umask, deterministic)
         elif self.base_model == "DialogRNN":
             # single-stream party-state base encoder (model.py:1021-1032);
@@ -266,7 +277,8 @@ class DialogueGNN(nn.Module):
                 modals=self.modals, use_speaker=self.use_speaker,
                 use_modal=self.use_modal, reason_flag=reason,
                 modal_weight=self.modal_weight,
-                compute_dtype=self.gcn_compute_dtype, name="graph_model")
+                compute_dtype=self.gcn_compute_dtype,
+                scan_unroll=self.gcn_scan_unroll, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -282,7 +294,8 @@ class DialogueGNN(nn.Module):
                 alpha=0.1, variant=True, return_feature=True,
                 use_residue=self.use_residue, modals=self.modals,
                 mm_graph=self.graph_construct,
-                compute_dtype=self.gcn_compute_dtype, name="graph_model")
+                compute_dtype=self.gcn_compute_dtype,
+                scan_unroll=self.gcn_scan_unroll, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -344,7 +357,8 @@ class DialogueGNN(nn.Module):
                     dropout=self.dropout, lamda=lam, alpha=alp, variant=True,
                     return_feature=self.multi_modal,
                     use_residue=self.use_residue, reason_flag=self.reason_flag,
-                    compute_dtype=self.gcn_compute_dtype, name=name)
+                    compute_dtype=self.gcn_compute_dtype,
+                    scan_unroll=self.gcn_scan_unroll, name=name)
 
             if not self.multi_modal:
                 return make_net("graph_net")(

@@ -60,6 +60,7 @@ class MMGCN(nn.Module):
     reason_flag: bool = False
     modal_weight: float = 1.0
     compute_dtype: Optional[str] = None   # 'bfloat16' scan fast path
+    scan_unroll: Optional[int] = None     # layer-scan unroll (see GCNIIStack)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -95,7 +96,8 @@ class MMGCN(nn.Module):
             lamda=self.lamda, alpha=self.alpha, variant=self.variant,
             reason_flag=self.reason_flag, has_fc_in=True,
             dropout_mode="after", post_loop_dropout=False,
-            compute_dtype=self.compute_dtype, name="graph_net")
+            compute_dtype=self.compute_dtype, scan_unroll=self.scan_unroll,
+            name="graph_net")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)   # model_GCN.py:482-483
@@ -135,6 +137,7 @@ class MMGCN2(nn.Module):
     modals: str = "avl"
     mm_graph: str = "direct"
     compute_dtype: Optional[str] = None
+    scan_unroll: Optional[int] = None
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -168,7 +171,8 @@ class MMGCN2(nn.Module):
             lamda=self.lamda, alpha=self.alpha, variant=self.variant,
             reason_flag=False, has_fc_in=False,
             dropout_mode="before", post_loop_dropout=True,
-            compute_dtype=self.compute_dtype, name="convs")
+            compute_dtype=self.compute_dtype, scan_unroll=self.scan_unroll,
+            name="convs")
         _, h = stack(x, adj, deterministic=deterministic)
 
         parts = [h[:, i * L:(i + 1) * L] for i in range(len(modals))]
@@ -200,6 +204,7 @@ class DeepGCNII(nn.Module):
     lyc: bool = False
     new_graph: bool = False
     compute_dtype: Optional[str] = None
+    scan_unroll: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qmask: jnp.ndarray, umask: jnp.ndarray,
@@ -220,7 +225,8 @@ class DeepGCNII(nn.Module):
             reason_flag=self.reason_flag, has_fc_in=True,
             dropout_mode="after" if self.lyc else "none",
             post_loop_dropout=not self.lyc,
-            compute_dtype=self.compute_dtype, name="stack")
+            compute_dtype=self.compute_dtype, scan_unroll=self.scan_unroll,
+            name="stack")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)

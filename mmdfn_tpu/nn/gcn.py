@@ -89,6 +89,14 @@ class GCNIIStack(nn.Module):
                                           # the fwd+bwd stack at flagship
                                           # shapes.  Off by default: strict
                                           # reference parity needs f32.
+    scan_unroll: Optional[int] = None     # None = FULL unroll: with chained
+                                          # timing, straight-lining all
+                                          # layers beat unroll=2 by 1.5x at
+                                          # 16 layers and 1.75x at 64 (XLA
+                                          # fuses across layer boundaries;
+                                          # one-time compile cost ~37 s at
+                                          # 64 layers, disk-cached).  Set an
+                                          # int to cap program size.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -168,8 +176,10 @@ class GCNIIStack(nn.Module):
                 h = h + q
             return (h, state), None
 
+        unroll = self.scan_unroll if self.scan_unroll else self.nlayers
         (h, _), _ = jax.lax.scan(
-            body, (h, (zeros, zeros)), (W, theta, layer_keys), unroll=2)
+            body, (h, (zeros, zeros)), (W, theta, layer_keys),
+            unroll=min(unroll, self.nlayers))
         h = h.astype(out_dtype)
 
         if self.post_loop_dropout and use_dropout:

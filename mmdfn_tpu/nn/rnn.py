@@ -35,6 +35,16 @@ from mmdfn_tpu.utils import torch_init
 from mmdfn_tpu.utils.masking import flip_valid
 
 
+def _gru_gates(xg_t: jnp.ndarray, hg: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Torch GRU gate math from precomputed input/hidden projections."""
+    xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
+    hr, hz, hn = jnp.split(hg, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
 def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
               h0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the GRU hidden recurrence.
@@ -45,21 +55,49 @@ def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
     Returns:
       (outputs (B, L, H), final hidden (B, H)).
     """
-    H = h0.shape[-1]
 
     def step(h, xg_t):
-        hg = h @ w_hh + b_hh
-        xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
-        hr, hz, hn = jnp.split(hg, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_gates(xg_t, h @ w_hh + b_hh, h)
         return h_new, h_new
 
     h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1),
                                unroll=8)
     return jnp.swapaxes(ys, 0, 1), h_last
+
+
+def _gru_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+                   w_hh_f: jnp.ndarray, b_hh_f: jnp.ndarray,
+                   w_hh_b: jnp.ndarray, b_hh_b: jnp.ndarray,
+                   h0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both GRU directions in ONE scan over time.
+
+    ``xg_b`` must already be time-flipped (valid-frames-first); the returned
+    backward stream is still flipped — the caller unflips.  The body keeps
+    the two recurrent matmuls *plain* ``(B, H) @ (H, 3H)`` — the earlier
+    direction-fusion attempt that packed them into a d=2 batched einsum
+    regressed 25% on MXU mapping (DESIGN.md) — so this variant only halves
+    the number of sequential scan steps (the measured latency ceiling), not
+    the per-step matmul shape.
+    """
+
+    def step(carry, xs):
+        hf, hb = carry
+        xgf_t, xgb_t = xs
+        hf = _gru_gates(xgf_t, hf @ w_hh_f + b_hh_f, hf)
+        hb = _gru_gates(xgb_t, hb @ w_hh_b + b_hh_b, hb)
+        return (hf, hb), (hf, hb)
+
+    xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b, 0, 1))
+    _, (ys_f, ys_b) = jax.lax.scan(step, (h0, h0), xs, unroll=8)
+    return jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)
+
+
+def _lstm_gates(g: jnp.ndarray, c: jnp.ndarray):
+    """Torch LSTM gate math from the summed gate pre-activations."""
+    i, f, gg, o = jnp.split(g, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
 
 
 def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
@@ -68,19 +106,32 @@ def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 
     def step(carry, xg_t):
         h, c = carry
-        g = xg_t + h @ w_hh + b_hh
-        i, f, gg, o = jnp.split(g, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        gg = jnp.tanh(gg)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c + i * gg
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _lstm_gates(xg_t + h @ w_hh + b_hh, c)
         return (h_new, c_new), h_new
 
     (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xg, 0, 1),
                                         unroll=8)
     return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
+
+
+def _lstm_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+                    w_hh_f: jnp.ndarray, b_hh_f: jnp.ndarray,
+                    w_hh_b: jnp.ndarray, b_hh_b: jnp.ndarray,
+                    h0: jnp.ndarray):
+    """Both LSTM directions in one scan (see ``_gru_scan_bidi``)."""
+
+    def step(carry, xs):
+        (hf, cf), (hb, cb) = carry
+        xgf_t, xgb_t = xs
+        hf, cf = _lstm_gates(xgf_t + hf @ w_hh_f + b_hh_f, cf)
+        hb, cb = _lstm_gates(xgb_t + hb @ w_hh_b + b_hh_b, cb)
+        return ((hf, cf), (hb, cb)), (hf, hb)
+
+    zeros = jnp.zeros_like(h0)
+    xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b, 0, 1))
+    _, (ys_f, ys_b) = jax.lax.scan(
+        step, ((h0, zeros), (h0, zeros)), xs, unroll=8)
+    return jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)
 
 
 class BiRNN(nn.Module):
@@ -101,6 +152,11 @@ class BiRNN(nn.Module):
                                           # (params stay f32 masters; output
                                           # cast back) — same HBM-traffic
                                           # rationale as GCNIIStack's flag
+    fuse_directions: bool = False         # run fwd+bwd in ONE scan per layer
+                                          # (identical math — params/outputs
+                                          # unchanged; halves the sequential
+                                          # scan count, the measured latency
+                                          # ceiling of the flagship step)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, umask: Optional[jnp.ndarray] = None,
@@ -115,9 +171,12 @@ class BiRNN(nn.Module):
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         out_dtype = x.dtype
 
+        def flip(z):
+            return flip_valid(z, umask) if umask is not None else z[:, ::-1]
+
         out = x if cd is None else x.astype(cd)
         for layer in range(self.num_layers):
-            feats = []
+            params = {}
             for d in directions:
                 name = f"l{layer}_{d}"
                 in_dim = out.shape[-1]
@@ -128,18 +187,31 @@ class BiRNN(nn.Module):
                 if cd is not None:
                     w_ih, w_hh = w_ih.astype(cd), w_hh.astype(cd)
                     b_ih, b_hh = b_ih.astype(cd), b_hh.astype(cd)
-                inp = out
-                if d == "bwd":
-                    inp = flip_valid(inp, umask) if umask is not None else inp[:, ::-1]
-                xg = inp @ w_ih + b_ih
-                h0 = jnp.zeros((B, H), dtype=inp.dtype)
-                if self.cell == "gru":
-                    ys, _ = scan(xg, w_hh, b_hh, h0)
-                else:
-                    ys, _ = scan(xg, w_hh, b_hh, h0, jnp.zeros_like(h0))
-                if d == "bwd":
-                    ys = flip_valid(ys, umask) if umask is not None else ys[:, ::-1]
-                feats.append(ys)
+                params[d] = (w_ih, w_hh, b_ih, b_hh)
+
+            h0 = jnp.zeros((B, H), dtype=out.dtype)
+            if self.fuse_directions and self.bidirectional:
+                w_ih_f, w_hh_f, b_ih_f, b_hh_f = params["fwd"]
+                w_ih_b, w_hh_b, b_ih_b, b_hh_b = params["bwd"]
+                xg_f = out @ w_ih_f + b_ih_f
+                xg_b = flip(out) @ w_ih_b + b_ih_b
+                bidi = _gru_scan_bidi if self.cell == "gru" else _lstm_scan_bidi
+                ys_f, ys_b = bidi(xg_f, xg_b, w_hh_f, b_hh_f,
+                                  w_hh_b, b_hh_b, h0)
+                feats = [ys_f, flip(ys_b)]
+            else:
+                feats = []
+                for d in directions:
+                    w_ih, w_hh, b_ih, b_hh = params[d]
+                    inp = flip(out) if d == "bwd" else out
+                    xg = inp @ w_ih + b_ih
+                    if self.cell == "gru":
+                        ys, _ = scan(xg, w_hh, b_hh, h0)
+                    else:
+                        ys, _ = scan(xg, w_hh, b_hh, h0, jnp.zeros_like(h0))
+                    if d == "bwd":
+                        ys = flip(ys)
+                    feats.append(ys)
             out = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

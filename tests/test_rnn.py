@@ -153,3 +153,34 @@ def test_birnn_bf16_compute_close_to_f32():
                                                       x, umask)
     assert ybf.dtype == jnp.float32
     assert np.abs(np.asarray(ybf) - np.asarray(y32)).max() < 0.05
+
+
+def test_birnn_fused_directions_identical():
+    """fuse_directions=True is the same math in one scan: identical params
+    tree, bit-identical outputs for GRU and LSTM, with and without umask."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmdfn_tpu.nn.rnn import BiRNN
+
+    rng = np.random.default_rng(7)
+    B, L, D, H = 3, 11, 6, 5
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    umask = jnp.asarray(
+        (np.arange(L)[None, :] < rng.integers(3, L + 1, B)[:, None])
+        .astype(np.float32))
+
+    for cell in ("gru", "lstm"):
+        for um in (umask, None):
+            kw = dict(hidden_size=H, num_layers=2, bidirectional=True,
+                      cell=cell)
+            ref = BiRNN(**kw)
+            params = ref.init(jax.random.PRNGKey(0), x, um)["params"]
+            fused = BiRNN(**kw, fuse_directions=True)
+            # same parameter tree (fused is a pure execution-plan change)
+            p2 = fused.init(jax.random.PRNGKey(0), x, um)["params"]
+            assert jax.tree.structure(params) == jax.tree.structure(p2)
+            y_ref = ref.apply({"params": params}, x, um)
+            y_fused = fused.apply({"params": params}, x, um)
+            np.testing.assert_array_equal(np.asarray(y_ref),
+                                          np.asarray(y_fused))
