@@ -47,7 +47,10 @@ def capture(trace_dir):
 
 
 def summarize(trace_dir, top=25):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        from xprof.convert import raw_to_tool_data
+    except ImportError:  # older image: tensorboard plugin namespace
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
 
     paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
     assert paths, f"no xplane.pb under {trace_dir}"
@@ -55,36 +58,37 @@ def summarize(trace_dir, top=25):
         [paths[-1]], "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    # framework_op_stats CSV: columns include rank, host/device, op type,
-    # op name, occurrences, total time, avg, total self time ...
-    lines = data.strip().split("\n")
-    header = lines[0].split(",")
+    # gviz table JSON: [{cols: [{id,label,...}], rows: [{c: [{v}, ...]}]}]
+    table = json.loads(data)[0]
+    ids = [c["id"] for c in table["cols"]]
 
-    def col(name):
-        return header.index(name)
+    def get(row, name):
+        v = row["c"][ids.index(name)]
+        return v["v"] if v else None
 
-    rows = [l.split(",") for l in lines[1:]]
-    dev = [r for r in rows if r[col("host_or_device")] == "Device"]
-    key_self = col("total_self_time_us" if "total_self_time_us" in header
-                   else "total_self_time")
-    dev.sort(key=lambda r: -float(r[key_self]))
-    total = sum(float(r[key_self]) for r in dev)
-    print(f"device total self time: {total / 1e3:.2f} ms over 10 steps "
-          f"({total / 1e4:.3f} ms/step)")
+    dev = [r for r in table["rows"] if get(r, "host_or_device") == "Device"]
+    dev.sort(key=lambda r: -float(get(r, "total_self_time")))
+    total = sum(float(get(r, "total_self_time")) for r in dev)
+    busy = sum(float(get(r, "total_self_time")) for r in dev
+               if get(r, "type") != "IDLE")
+    print(f"device total {total / 1e4:.3f} ms/step, busy {busy / 1e4:.3f} "
+          f"ms/step (10-step trace)")
     by_type = {}
     for r in dev:
-        by_type.setdefault(r[col("op_type")], [0.0, 0])
-        by_type[r[col("op_type")]][0] += float(r[key_self])
-        by_type[r[col("op_type")]][1] += 1
+        t = get(r, "type")
+        by_type.setdefault(t, [0.0, 0])
+        by_type[t][0] += float(get(r, "total_self_time"))
+        by_type[t][1] += int(get(r, "occurrences") or 0)
     print("\n-- by op type --")
-    for t, (us, n) in sorted(by_type.items(), key=lambda kv: -kv[1][0])[:12]:
-        print(f"{t:>28}: {us / 1e4:7.3f} ms/step  ({n} ops, "
+    for t, (us, n) in sorted(by_type.items(), key=lambda kv: -kv[1][0])[:14]:
+        print(f"{t:>28}: {us / 1e4:7.3f} ms/step  ({n} occurrences, "
               f"{100 * us / total:4.1f}%)")
     print("\n-- top ops --")
-    name_c = col("op_name")
     for r in dev[:top]:
-        print(f"{float(r[key_self]) / 1e4:8.4f} ms/step  "
-              f"{r[col('op_type')]:>20}  {r[name_c][:90]}")
+        bound = get(r, "bound_by") or ""
+        print(f"{float(get(r, 'total_self_time')) / 1e4:8.4f} ms/step  "
+              f"{get(r, 'type'):>16} {bound:>8}  "
+              f"{str(get(r, 'operation'))[:100]}")
 
 
 if __name__ == "__main__":

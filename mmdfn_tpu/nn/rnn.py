@@ -305,8 +305,15 @@ def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
     perm = jnp.argsort(key, axis=-1)                       # party frames first
     counts = jnp.sum(is_p, axis=-1)                        # (B, P)
 
-    xb = jnp.broadcast_to(x[:, None], (B, P, L, x.shape[-1]))
-    gathered = jnp.take_along_axis(xb, perm[..., None], axis=2)
+    # Apply the permutation and its inverse as ONE-HOT MATMULS, not gathers:
+    # each output row selects exactly one input row, so the einsum sums a
+    # single 1.0*value term — bit-exact under Precision.HIGHEST — while
+    # mapping onto the MXU instead of HBM-bound gather/scatter (the gather
+    # pair + inverse argsort measured ~0.8 ms/step of the 11 ms flagship
+    # step; the backward of a matmul is a matmul, not a scatter-add).
+    onehot = jax.nn.one_hot(perm, L, dtype=x.dtype)        # (B, P, L, L)
+    hi = jax.lax.Precision.HIGHEST
+    gathered = jnp.einsum("bplm,bmd->bpld", onehot, x, precision=hi)
     valid = (jnp.arange(L)[None, None, :] < counts[..., None])
     gathered = gathered * valid[..., None]
 
@@ -315,7 +322,8 @@ def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
     E = rnn(flat, flat_mask, deterministic=deterministic)  # (B*P, L, D_out)
     E = E.reshape(B, P, L, -1)
 
-    inv = jnp.argsort(perm, axis=-1)                       # inverse permutation
-    back = jnp.take_along_axis(E, inv[..., None], axis=2)  # (B, P, L, D_out)
+    # inverse permutation: transpose the same one-hot matrix (row m carries
+    # perm[m] -> position l), so no second argsort is needed
+    back = jnp.einsum("bpml,bpmd->bpld", onehot, E, precision=hi)
     back = back * is_p[..., None]
     return jnp.sum(back, axis=1)

@@ -8,6 +8,7 @@ shapes).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -54,6 +55,18 @@ def flip_valid(x, umask):
     lengths = lengths_from_mask(umask)
     t = jnp.arange(L)[None, :]
     src = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        # Permutation as a one-hot matmul: each output row sums exactly one
+        # 1.0*value term, so Precision.HIGHEST makes it bit-identical to the
+        # gather while running on the MXU — TPU gathers are HBM-bound and
+        # their backward is a scatter-add (measured 0.35 ms/step of the
+        # flagship's 8.7 ms inside the encoder-RNN flips alone).  The pads
+        # keep identity rows, so they stay in place as before.
+        onehot = jax.nn.one_hot(src, L, dtype=x.dtype)        # (B, L, L)
+        flat = x.reshape(B, L, -1)
+        out = jnp.einsum("blm,bmd->bld", onehot, flat,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(x.shape)
     return jnp.take_along_axis(
         x, src.reshape(B, L, *([1] * (x.ndim - 2))).astype(jnp.int32), axis=1
     ) if x.ndim > 2 else jnp.take_along_axis(x, src, axis=1)

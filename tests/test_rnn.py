@@ -184,3 +184,40 @@ def test_birnn_fused_directions_identical():
             y_fused = fused.apply({"params": params}, x, um)
             np.testing.assert_array_equal(np.asarray(y_ref),
                                           np.asarray(y_fused))
+
+
+def test_flip_valid_matmul_matches_gather():
+    """The float one-hot-matmul path of flip_valid is bit-identical to the
+    integer gather path, keeps pads in place, and is an involution."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mmdfn_tpu.utils.masking import flip_valid
+
+    rng = np.random.default_rng(11)
+    B, L, D = 4, 9, 5
+    lengths = rng.integers(1, L + 1, B)
+    umask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None])
+                        .astype(np.float32))
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+
+    got = np.asarray(flip_valid(jnp.asarray(x), umask))
+    # oracle: integer-gather semantics
+    expect = x.copy()
+    for b in range(B):
+        n = int(lengths[b])
+        expect[b, :n] = x[b, :n][::-1]
+    np.testing.assert_array_equal(got, expect)
+    # involution: flipping twice restores the input exactly
+    np.testing.assert_array_equal(
+        np.asarray(flip_valid(flip_valid(jnp.asarray(x), umask), umask)), x)
+    # 2-D inputs take the same path
+    got2 = np.asarray(flip_valid(jnp.asarray(x[..., 0]), umask))
+    np.testing.assert_array_equal(got2, expect[..., 0])
+    # integer dtype falls back to the gather path with equal semantics
+    xi = (x * 100).astype(np.int32)
+    goti = np.asarray(flip_valid(jnp.asarray(xi), umask))
+    expecti = xi.copy()
+    for b in range(B):
+        n = int(lengths[b])
+        expecti[b, :n] = xi[b, :n][::-1]
+    np.testing.assert_array_equal(goti, expecti)
