@@ -59,7 +59,8 @@ def main():
     cfg = ExperimentConfig(
         dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
         class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
-        speaker_weights="3-0-1", gcn_compute_dtype="bfloat16")
+        speaker_weights="3-0-1", gcn_compute_dtype="bfloat16",
+        rnn_scan_remat=True)
     trainer = Trainer(cfg)
     state = trainer.init_state()
 

@@ -126,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--rnn_fuse_directions", action="store_true", default=False,
         help="run each BiRNN layer's fwd+bwd directions in one scan "
              "(identical math, fewer sequential scans)")
+    add("--rnn_scan_remat", action="store_true", default=False,
+        help="checkpoint the RNN scan step (backward recomputes gates "
+             "instead of reading per-step residuals from HBM)")
     add("--param_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
     add("--buckets", type=str, default=None,

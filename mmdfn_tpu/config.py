@@ -145,6 +145,10 @@ class ExperimentConfig:
                                              # sequential scan count — the
                                              # flagship step's latency
                                              # ceiling)
+    rnn_scan_remat: bool = False             # checkpoint the RNN scan step:
+                                             # backward recomputes gate math
+                                             # instead of reading per-step
+                                             # residuals back from HBM
     # DailyDialogue token frontend (CNNFeatureExtractor, model.py:1410-1443;
     # the reference hard-codes vocab/embedding sizes at its call sites)
     vocab_size: int = 5000

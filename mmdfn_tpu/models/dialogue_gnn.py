@@ -82,6 +82,7 @@ class DialogueGNN(nn.Module):
     rnn_compute_dtype: Optional[str] = None  # 'bfloat16' encoder-RNN fast path
     gcn_scan_unroll: Optional[int] = None    # GCNII layer-scan unroll cap
     rnn_fuse_directions: bool = False        # fwd+bwd in one scan per layer
+    rnn_scan_remat: bool = False             # recompute RNN gates in backward
 
     @classmethod
     def from_config(cls, cfg: ExperimentConfig) -> "DialogueGNN":
@@ -124,6 +125,7 @@ class DialogueGNN(nn.Module):
             rnn_compute_dtype=cfg.rnn_compute_dtype,
             gcn_scan_unroll=cfg.gcn_scan_unroll,
             rnn_fuse_directions=cfg.rnn_fuse_directions,
+            rnn_scan_remat=cfg.rnn_scan_remat,
         )
 
     @property
@@ -150,13 +152,15 @@ class DialogueGNN(nn.Module):
                 rnn = BiRNN(D_E, num_layers=2, bidirectional=True, cell="gru",
                             dropout=self.dropout,
                             compute_dtype=self.rnn_compute_dtype,
-                            fuse_directions=self.rnn_fuse_directions, name="lstm")
+                            fuse_directions=self.rnn_fuse_directions,
+                            scan_remat=self.rnn_scan_remat, name="lstm")
                 emo = rnn(U, umask, deterministic=deterministic)
                 if self.use_crn_speaker:
                     parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                     cell="gru", dropout=self.dropout,
                                     compute_dtype=self.rnn_compute_dtype,
                                     fuse_directions=self.rnn_fuse_directions,
+                                    scan_remat=self.rnn_scan_remat,
                                     name="rnn_parties")
                     delta = crn_party_delta(
                         lambda x, m, deterministic=True: parties(
@@ -169,6 +173,7 @@ class DialogueGNN(nn.Module):
                                 cell="gru", dropout=self.dropout,
                                 compute_dtype=self.rnn_compute_dtype,
                                 fuse_directions=self.rnn_fuse_directions,
+                                scan_remat=self.rnn_scan_remat,
                                 name="rnn_parties")
 
                 proj = {}
@@ -180,6 +185,7 @@ class DialogueGNN(nn.Module):
                         base["a"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                           compute_dtype=self.rnn_compute_dtype,
                                           fuse_directions=self.rnn_fuse_directions,
+                                          scan_remat=self.rnn_scan_remat,
                                           name="lstm_a")(proj["a"], umask,
                                                          deterministic)
                 if "v" in modals:
@@ -189,6 +195,7 @@ class DialogueGNN(nn.Module):
                         base["v"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                           compute_dtype=self.rnn_compute_dtype,
                                           fuse_directions=self.rnn_fuse_directions,
+                                          scan_remat=self.rnn_scan_remat,
                                           name="lstm_v")(proj["v"], umask,
                                                          deterministic)
                 if "l" in modals:
@@ -196,6 +203,7 @@ class DialogueGNN(nn.Module):
                     base["l"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                       compute_dtype=self.rnn_compute_dtype,
                                       fuse_directions=self.rnn_fuse_directions,
+                                      scan_remat=self.rnn_scan_remat,
                                       name="lstm_l")(proj["l"], umask,
                                                      deterministic)
 
@@ -224,6 +232,7 @@ class DialogueGNN(nn.Module):
             emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                   compute_dtype=self.rnn_compute_dtype,
                                   fuse_directions=self.rnn_fuse_directions,
+                                  scan_remat=self.rnn_scan_remat,
                                   name="gru")(text, umask, deterministic)
         elif self.base_model == "DialogRNN":
             # single-stream party-state base encoder (model.py:1021-1032);

@@ -89,14 +89,17 @@ class GCNIIStack(nn.Module):
                                           # the fwd+bwd stack at flagship
                                           # shapes.  Off by default: strict
                                           # reference parity needs f32.
-    scan_unroll: Optional[int] = None     # None = FULL unroll: with chained
-                                          # timing, straight-lining all
-                                          # layers beat unroll=2 by 1.5x at
-                                          # 16 layers and 1.75x at 64 (XLA
-                                          # fuses across layer boundaries;
-                                          # one-time compile cost ~37 s at
-                                          # 64 layers, disk-cached).  Set an
-                                          # int to cap program size.
+    scan_unroll: Optional[int] = None     # None = auto: FULL unroll on TPU
+                                          # (interleaved A/B: blocked median
+                                          # 43.2 ms vs 52.1 at unroll=2;
+                                          # XLA fuses across layer bounds;
+                                          # one-time compile ~51 s at 16
+                                          # layers, disk-cached), unroll=2
+                                          # on CPU/other backends where the
+                                          # straight-lined program blows up
+                                          # test compile times (the full
+                                          # suite regressed 2x).  Set an int
+                                          # to override either way.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -176,7 +179,10 @@ class GCNIIStack(nn.Module):
                 h = h + q
             return (h, state), None
 
-        unroll = self.scan_unroll if self.scan_unroll else self.nlayers
+        if self.scan_unroll:
+            unroll = self.scan_unroll
+        else:  # auto: backend is a trace-time constant ('axon' = TPU tunnel)
+            unroll = 2 if jax.default_backend() == "cpu" else self.nlayers
         (h, _), _ = jax.lax.scan(
             body, (h, (zeros, zeros)), (W, theta, layer_keys),
             unroll=min(unroll, self.nlayers))

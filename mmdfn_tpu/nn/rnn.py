@@ -46,12 +46,17 @@ def _gru_gates(xg_t: jnp.ndarray, hg: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarra
 
 
 def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
-              h0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              h0: jnp.ndarray, remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the GRU hidden recurrence.
 
     Args:
       xg: (B, L, 3H) precomputed ``x @ W_ih + b_ih`` for all steps.
       w_hh: (H, 3H); b_hh: (3H,); h0: (B, H).
+      remat: checkpoint the step — the backward scan recomputes the gate
+        math from the carried ``h`` and the input ``xg_t`` instead of
+        reading ~6 per-step residual tensors back from HBM (the backward
+        scan's gather traffic is the cost; the recompute is a tiny matmul
+        that is latency- not FLOP-bound).
     Returns:
       (outputs (B, L, H), final hidden (B, H)).
     """
@@ -60,6 +65,8 @@ def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
         h_new = _gru_gates(xg_t, h @ w_hh + b_hh, h)
         return h_new, h_new
 
+    if remat:
+        step = jax.checkpoint(step, prevent_cse=False)
     h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1),
                                unroll=8)
     return jnp.swapaxes(ys, 0, 1), h_last
@@ -101,7 +108,7 @@ def _lstm_gates(g: jnp.ndarray, c: jnp.ndarray):
 
 
 def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
-               h0: jnp.ndarray, c0: jnp.ndarray):
+               h0: jnp.ndarray, c0: jnp.ndarray, remat: bool = False):
     """LSTM hidden recurrence; xg is (B, L, 4H) precomputed input gates."""
 
     def step(carry, xg_t):
@@ -109,6 +116,8 @@ def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
         h_new, c_new = _lstm_gates(xg_t + h @ w_hh + b_hh, c)
         return (h_new, c_new), h_new
 
+    if remat:
+        step = jax.checkpoint(step, prevent_cse=False)
     (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xg, 0, 1),
                                         unroll=8)
     return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
@@ -157,6 +166,10 @@ class BiRNN(nn.Module):
                                           # unchanged; halves the sequential
                                           # scan count, the measured latency
                                           # ceiling of the flagship step)
+    scan_remat: bool = False              # checkpoint the scan step: the
+                                          # backward recomputes gate math
+                                          # instead of reading per-step
+                                          # residuals back from HBM
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, umask: Optional[jnp.ndarray] = None,
@@ -206,9 +219,11 @@ class BiRNN(nn.Module):
                     inp = flip(out) if d == "bwd" else out
                     xg = inp @ w_ih + b_ih
                     if self.cell == "gru":
-                        ys, _ = scan(xg, w_hh, b_hh, h0)
+                        ys, _ = scan(xg, w_hh, b_hh, h0,
+                                     remat=self.scan_remat)
                     else:
-                        ys, _ = scan(xg, w_hh, b_hh, h0, jnp.zeros_like(h0))
+                        ys, _ = scan(xg, w_hh, b_hh, h0, jnp.zeros_like(h0),
+                                     remat=self.scan_remat)
                     if d == "bwd":
                         ys = flip(ys)
                     feats.append(ys)

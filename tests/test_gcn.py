@@ -212,3 +212,38 @@ def test_flagship_forward_with_bf16_gcn():
     # log-probs: absolute comparison is the meaningful one
     assert np.abs(np.asarray(outbf) - np.asarray(out32)).max() < 0.15
     assert np.isfinite(np.asarray(outbf)).all()
+
+
+def test_gcnii_stack_unroll_invariant():
+    """scan_unroll is a pure execution-plan knob: full unroll, unroll=2 and
+    the CPU auto default produce bit-identical outputs and gradients."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmdfn_tpu.nn.gcn import GCNIIStack
+
+    rng = np.random.default_rng(5)
+    B, N, H, nlayers = 2, 7, 6, 3
+    x = jnp.asarray(rng.standard_normal((B, N, H)).astype(np.float32))
+    adj = jnp.asarray(np.abs(rng.standard_normal((B, N, N)))
+                      .astype(np.float32)) / N
+
+    def run(unroll):
+        m = GCNIIStack(nlayers=nlayers, nhidden=H, reason_flag=True,
+                       scan_unroll=unroll)
+        params = m.init(jax.random.PRNGKey(0), x, adj)["params"]
+
+        def loss(p):
+            _, h = m.apply({"params": p}, x, adj)
+            return jnp.sum(h ** 2)
+
+        return loss(params), jax.grad(loss)(params)
+
+    l_auto, g_auto = run(None)          # CPU auto -> unroll=2
+    l_full, g_full = run(nlayers)       # full straight-line
+    l_two, g_two = run(2)
+    assert float(l_auto) == float(l_full) == float(l_two)
+    for ga, gb in zip(jax.tree.leaves(g_auto), jax.tree.leaves(g_full)):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    for ga, gb in zip(jax.tree.leaves(g_auto), jax.tree.leaves(g_two)):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))

@@ -221,3 +221,34 @@ def test_flip_valid_matmul_matches_gather():
         n = int(lengths[b])
         expecti[b, :n] = xi[b, :n][::-1]
     np.testing.assert_array_equal(goti, expecti)
+
+
+def test_birnn_scan_remat_identical_grads():
+    """scan_remat replays the same ops in backward: outputs and gradients
+    are bit-identical to the non-remat scans for GRU and LSTM."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmdfn_tpu.nn.rnn import BiRNN
+
+    rng = np.random.default_rng(13)
+    B, L, D, H = 2, 10, 5, 4
+    x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+    umask = jnp.asarray(
+        (np.arange(L)[None, :] < rng.integers(2, L + 1, B)[:, None])
+        .astype(np.float32))
+
+    for cell in ("gru", "lstm"):
+        kw = dict(hidden_size=H, num_layers=2, bidirectional=True, cell=cell)
+        ref = BiRNN(**kw)
+        params = ref.init(jax.random.PRNGKey(0), x, umask)["params"]
+        rem = BiRNN(**kw, scan_remat=True)
+
+        def loss(m, p):
+            return jnp.sum(m.apply({"params": p}, x, umask) ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(ref, p))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(rem, p))(params)
+        assert float(l0) == float(l1)
+        for ga, gb in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
