@@ -26,6 +26,16 @@ BUCKET = 80
 STEPS = 12
 NLAYERS = 16
 
+# production flagship config — shared by bench.py, benchmarks/ab_config.py
+# and benchmarks/profile_step.py so measurements always describe the same
+# executable.  bf16 GCNII scan (+12%) and remat'd RNN scan backward (+9%)
+# are the measured-win knobs; full unroll is the TPU auto default.
+PRODUCTION_CONFIG = dict(
+    dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
+    class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
+    speaker_weights="3-0-1", gcn_compute_dtype="bfloat16",
+    rnn_scan_remat=True)
+
 
 def make_batch(rng, B, L):
     import jax.numpy as jnp
@@ -54,13 +64,7 @@ def main():
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.train import Trainer
 
-    # production config: bf16 GCNII scan (measured +12% end-to-end in
-    # interleaved runs; parity tests pin the f32 default separately)
-    cfg = ExperimentConfig(
-        dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
-        class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
-        speaker_weights="3-0-1", gcn_compute_dtype="bfloat16",
-        rnn_scan_remat=True)
+    cfg = ExperimentConfig(**PRODUCTION_CONFIG)
     trainer = Trainer(cfg)
     state = trainer.init_state()
 

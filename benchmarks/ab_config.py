@@ -15,12 +15,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import BATCH, BUCKET, NLAYERS, make_batch  # noqa: E402
+from bench import BATCH, BUCKET, PRODUCTION_CONFIG, make_batch  # noqa: E402
 
-BASE = dict(
-    dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
-    class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
-    speaker_weights="3-0-1", gcn_compute_dtype="bfloat16")
+BASE = PRODUCTION_CONFIG
 
 
 def build(overrides):

@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import BATCH, BUCKET, NLAYERS, make_batch  # noqa: E402
+from bench import BATCH, BUCKET, PRODUCTION_CONFIG, make_batch  # noqa: E402
 
 
 def capture(trace_dir):
@@ -25,11 +25,7 @@ def capture(trace_dir):
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.train import Trainer
 
-    cfg = ExperimentConfig(
-        dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
-        class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
-        speaker_weights="3-0-1", gcn_compute_dtype="bfloat16")
-    trainer = Trainer(cfg)
+    trainer = Trainer(ExperimentConfig(**PRODUCTION_CONFIG))
     state = trainer.init_state()
 
     rng = np.random.default_rng(0)

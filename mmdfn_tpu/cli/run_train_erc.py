@@ -129,6 +129,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--rnn_scan_remat", action="store_true", default=False,
         help="checkpoint the RNN scan step (backward recomputes gates "
              "instead of reading per-step residuals from HBM)")
+    add("--gcn_scan_remat", action="store_true", default=False,
+        help="checkpoint each GCNII layer (backward recomputes adj@h + "
+             "gates instead of reading per-layer residuals from HBM)")
     add("--param_dtype", type=str, default="float32",
         choices=["float32", "bfloat16"])
     add("--buckets", type=str, default=None,

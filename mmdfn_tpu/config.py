@@ -149,6 +149,9 @@ class ExperimentConfig:
                                              # backward recomputes gate math
                                              # instead of reading per-step
                                              # residuals back from HBM
+    gcn_scan_remat: bool = False             # same for the GCNII layer scan
+                                             # (recompute adj@h + gates in
+                                             # backward)
     # DailyDialogue token frontend (CNNFeatureExtractor, model.py:1410-1443;
     # the reference hard-codes vocab/embedding sizes at its call sites)
     vocab_size: int = 5000

@@ -81,6 +81,7 @@ class DialogueGNN(nn.Module):
     gcn_compute_dtype: Optional[str] = None  # 'bfloat16' GCNII scan fast path
     rnn_compute_dtype: Optional[str] = None  # 'bfloat16' encoder-RNN fast path
     gcn_scan_unroll: Optional[int] = None    # GCNII layer-scan unroll cap
+    gcn_scan_remat: bool = False             # GCNII per-layer remat
     rnn_fuse_directions: bool = False        # fwd+bwd in one scan per layer
     rnn_scan_remat: bool = False             # recompute RNN gates in backward
 
@@ -124,6 +125,7 @@ class DialogueGNN(nn.Module):
             gcn_compute_dtype=cfg.gcn_compute_dtype,
             rnn_compute_dtype=cfg.rnn_compute_dtype,
             gcn_scan_unroll=cfg.gcn_scan_unroll,
+            gcn_scan_remat=cfg.gcn_scan_remat,
             rnn_fuse_directions=cfg.rnn_fuse_directions,
             rnn_scan_remat=cfg.rnn_scan_remat,
         )
@@ -287,7 +289,8 @@ class DialogueGNN(nn.Module):
                 use_modal=self.use_modal, reason_flag=reason,
                 modal_weight=self.modal_weight,
                 compute_dtype=self.gcn_compute_dtype,
-                scan_unroll=self.gcn_scan_unroll, name="graph_model")
+                scan_unroll=self.gcn_scan_unroll,
+                scan_remat=self.gcn_scan_remat, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -304,7 +307,8 @@ class DialogueGNN(nn.Module):
                 use_residue=self.use_residue, modals=self.modals,
                 mm_graph=self.graph_construct,
                 compute_dtype=self.gcn_compute_dtype,
-                scan_unroll=self.gcn_scan_unroll, name="graph_model")
+                scan_unroll=self.gcn_scan_unroll,
+                scan_remat=self.gcn_scan_remat, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -367,7 +371,8 @@ class DialogueGNN(nn.Module):
                     return_feature=self.multi_modal,
                     use_residue=self.use_residue, reason_flag=self.reason_flag,
                     compute_dtype=self.gcn_compute_dtype,
-                    scan_unroll=self.gcn_scan_unroll, name=name)
+                    scan_unroll=self.gcn_scan_unroll,
+                    scan_remat=self.gcn_scan_remat, name=name)
 
             if not self.multi_modal:
                 return make_net("graph_net")(

@@ -61,6 +61,7 @@ class MMGCN(nn.Module):
     modal_weight: float = 1.0
     compute_dtype: Optional[str] = None   # 'bfloat16' scan fast path
     scan_unroll: Optional[int] = None     # layer-scan unroll (see GCNIIStack)
+    scan_remat: bool = False              # layer remat (see GCNIIStack)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -96,7 +97,8 @@ class MMGCN(nn.Module):
             lamda=self.lamda, alpha=self.alpha, variant=self.variant,
             reason_flag=self.reason_flag, has_fc_in=True,
             dropout_mode="after", post_loop_dropout=False,
-            compute_dtype=self.compute_dtype, scan_unroll=self.scan_unroll,
+            compute_dtype=self.compute_dtype,
+            scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
             name="graph_net")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
@@ -138,6 +140,7 @@ class MMGCN2(nn.Module):
     mm_graph: str = "direct"
     compute_dtype: Optional[str] = None
     scan_unroll: Optional[int] = None
+    scan_remat: bool = False
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -171,7 +174,8 @@ class MMGCN2(nn.Module):
             lamda=self.lamda, alpha=self.alpha, variant=self.variant,
             reason_flag=False, has_fc_in=False,
             dropout_mode="before", post_loop_dropout=True,
-            compute_dtype=self.compute_dtype, scan_unroll=self.scan_unroll,
+            compute_dtype=self.compute_dtype,
+            scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
             name="convs")
         _, h = stack(x, adj, deterministic=deterministic)
 
@@ -205,6 +209,7 @@ class DeepGCNII(nn.Module):
     new_graph: bool = False
     compute_dtype: Optional[str] = None
     scan_unroll: Optional[int] = None
+    scan_remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qmask: jnp.ndarray, umask: jnp.ndarray,
@@ -225,7 +230,8 @@ class DeepGCNII(nn.Module):
             reason_flag=self.reason_flag, has_fc_in=True,
             dropout_mode="after" if self.lyc else "none",
             post_loop_dropout=not self.lyc,
-            compute_dtype=self.compute_dtype, scan_unroll=self.scan_unroll,
+            compute_dtype=self.compute_dtype,
+            scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
             name="stack")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:

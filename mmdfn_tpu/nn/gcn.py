@@ -100,6 +100,11 @@ class GCNIIStack(nn.Module):
                                           # test compile times (the full
                                           # suite regressed 2x).  Set an int
                                           # to override either way.
+    scan_remat: bool = False              # checkpoint each layer: backward
+                                          # recomputes adj@h + gates instead
+                                          # of reading per-layer residuals
+                                          # from HBM (extra MXU FLOPs are
+                                          # ~20x cheaper than the traffic)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -183,6 +188,8 @@ class GCNIIStack(nn.Module):
             unroll = self.scan_unroll
         else:  # auto: backend is a trace-time constant ('axon' = TPU tunnel)
             unroll = 2 if jax.default_backend() == "cpu" else self.nlayers
+        if self.scan_remat:
+            body = jax.checkpoint(body, prevent_cse=False)
         (h, _), _ = jax.lax.scan(
             body, (h, (zeros, zeros)), (W, theta, layer_keys),
             unroll=min(unroll, self.nlayers))

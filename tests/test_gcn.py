@@ -247,3 +247,39 @@ def test_gcnii_stack_unroll_invariant():
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
     for ga, gb in zip(jax.tree.leaves(g_auto), jax.tree.leaves(g_two)):
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_gcnii_stack_scan_remat_close():
+    """scan_remat recomputes the layer in backward: same forward values; the
+    gradients agree to float-associativity level (XLA fuses the replayed ops
+    differently, so unlike the RNN remat they are not bit-equal)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmdfn_tpu.nn.gcn import GCNIIStack
+
+    rng = np.random.default_rng(7)
+    B, N, H, nlayers = 2, 7, 6, 3
+    x = jnp.asarray(rng.standard_normal((B, N, H)).astype(np.float32))
+    adj = jnp.asarray(np.abs(rng.standard_normal((B, N, N)))
+                      .astype(np.float32)) / N
+
+    def run(remat):
+        m = GCNIIStack(nlayers=nlayers, nhidden=H, reason_flag=True,
+                       scan_remat=remat)
+        params = m.init(jax.random.PRNGKey(0), x, adj)["params"]
+
+        def loss(p):
+            _, h = m.apply({"params": p}, x, adj)
+            return jnp.sum(h ** 2)
+
+        _, hh = m.apply({"params": params}, x, adj)
+        return hh, loss(params), jax.grad(loss)(params)
+
+    h0, l0, g0 = run(False)
+    h1, l1, g1 = run(True)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    assert float(l0) == float(l1)
+    for ga, gb in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-5)
