@@ -62,10 +62,14 @@ def summarize(trace_dir, top=25):
         v = row["c"][ids.index(name)]
         return v["v"] if v else None
 
+    def num(row, name):
+        v = get(row, name)
+        return float(v) if v is not None else 0.0
+
     dev = [r for r in table["rows"] if get(r, "host_or_device") == "Device"]
-    dev.sort(key=lambda r: -float(get(r, "total_self_time")))
-    total = sum(float(get(r, "total_self_time")) for r in dev)
-    busy = sum(float(get(r, "total_self_time")) for r in dev
+    dev.sort(key=lambda r: -num(r, "total_self_time"))
+    total = sum(num(r, "total_self_time") for r in dev)
+    busy = sum(num(r, "total_self_time") for r in dev
                if get(r, "type") != "IDLE")
     print(f"device total {total / 1e4:.3f} ms/step, busy {busy / 1e4:.3f} "
           f"ms/step (10-step trace)")
@@ -73,7 +77,7 @@ def summarize(trace_dir, top=25):
     for r in dev:
         t = get(r, "type")
         by_type.setdefault(t, [0.0, 0])
-        by_type[t][0] += float(get(r, "total_self_time"))
+        by_type[t][0] += num(r, "total_self_time")
         by_type[t][1] += int(get(r, "occurrences") or 0)
     print("\n-- by op type --")
     for t, (us, n) in sorted(by_type.items(), key=lambda kv: -kv[1][0])[:14]:
@@ -82,7 +86,7 @@ def summarize(trace_dir, top=25):
     print("\n-- top ops --")
     for r in dev[:top]:
         bound = get(r, "bound_by") or ""
-        print(f"{float(get(r, 'total_self_time')) / 1e4:8.4f} ms/step  "
+        print(f"{num(r, 'total_self_time') / 1e4:8.4f} ms/step  "
               f"{get(r, 'type'):>16} {bound:>8}  "
               f"{str(get(r, 'operation'))[:100]}")
 

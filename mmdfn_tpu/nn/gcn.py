@@ -184,10 +184,11 @@ class GCNIIStack(nn.Module):
                 h = h + q
             return (h, state), None
 
-        if self.scan_unroll:
-            unroll = self.scan_unroll
+        if self.scan_unroll is not None:
+            unroll = max(1, self.scan_unroll)
         else:  # auto: backend is a trace-time constant ('axon' = TPU tunnel)
-            unroll = 2 if jax.default_backend() == "cpu" else self.nlayers
+            unroll = (self.nlayers
+                      if jax.default_backend() in ("tpu", "axon") else 2)
         if self.scan_remat:
             body = jax.checkpoint(body, prevent_cse=False)
         (h, _), _ = jax.lax.scan(

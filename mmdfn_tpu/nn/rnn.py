@@ -75,7 +75,8 @@ def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 def _gru_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
                    w_hh_f: jnp.ndarray, b_hh_f: jnp.ndarray,
                    w_hh_b: jnp.ndarray, b_hh_b: jnp.ndarray,
-                   h0: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   h0: jnp.ndarray,
+                   remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Both GRU directions in ONE scan over time.
 
     ``xg_b`` must already be time-flipped (valid-frames-first); the returned
@@ -94,6 +95,8 @@ def _gru_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
         hb = _gru_gates(xgb_t, hb @ w_hh_b + b_hh_b, hb)
         return (hf, hb), (hf, hb)
 
+    if remat:
+        step = jax.checkpoint(step, prevent_cse=False)
     xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b, 0, 1))
     _, (ys_f, ys_b) = jax.lax.scan(step, (h0, h0), xs, unroll=8)
     return jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)
@@ -126,7 +129,7 @@ def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
 def _lstm_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
                     w_hh_f: jnp.ndarray, b_hh_f: jnp.ndarray,
                     w_hh_b: jnp.ndarray, b_hh_b: jnp.ndarray,
-                    h0: jnp.ndarray):
+                    h0: jnp.ndarray, remat: bool = False):
     """Both LSTM directions in one scan (see ``_gru_scan_bidi``)."""
 
     def step(carry, xs):
@@ -136,6 +139,8 @@ def _lstm_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
         hb, cb = _lstm_gates(xgb_t + hb @ w_hh_b + b_hh_b, cb)
         return ((hf, cf), (hb, cb)), (hf, hb)
 
+    if remat:
+        step = jax.checkpoint(step, prevent_cse=False)
     zeros = jnp.zeros_like(h0)
     xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b, 0, 1))
     _, (ys_f, ys_b) = jax.lax.scan(
@@ -210,7 +215,8 @@ class BiRNN(nn.Module):
                 xg_b = flip(out) @ w_ih_b + b_ih_b
                 bidi = _gru_scan_bidi if self.cell == "gru" else _lstm_scan_bidi
                 ys_f, ys_b = bidi(xg_f, xg_b, w_hh_f, b_hh_f,
-                                  w_hh_b, b_hh_b, h0)
+                                  w_hh_b, b_hh_b, h0,
+                                  remat=self.scan_remat)
                 feats = [ys_f, flip(ys_b)]
             else:
                 feats = []
@@ -320,25 +326,45 @@ def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
     perm = jnp.argsort(key, axis=-1)                       # party frames first
     counts = jnp.sum(is_p, axis=-1)                        # (B, P)
 
-    # Apply the permutation and its inverse as ONE-HOT MATMULS, not gathers:
-    # each output row selects exactly one input row, so the einsum sums a
-    # single 1.0*value term — bit-exact under Precision.HIGHEST — while
-    # mapping onto the MXU instead of HBM-bound gather/scatter (the gather
-    # pair + inverse argsort measured ~0.8 ms/step of the 11 ms flagship
-    # step; the backward of a matmul is a matmul, not a scatter-add).
-    onehot = jax.nn.one_hot(perm, L, dtype=x.dtype)        # (B, P, L, L)
-    hi = jax.lax.Precision.HIGHEST
-    gathered = jnp.einsum("bplm,bmd->bpld", onehot, x, precision=hi)
-    valid = (jnp.arange(L)[None, None, :] < counts[..., None])
-    gathered = gathered * valid[..., None]
+    valid = (jnp.arange(L)[None, None, :] < counts[..., None])  # (B, P, L)
+    use_matmul = L <= 128 and P <= 4
+    if use_matmul:
+        # Apply the permutation and its inverse as ONE-HOT MATMULS, not
+        # gathers: each output row selects exactly one input row, so the
+        # einsum sums a single 1.0*value term — bit-exact under
+        # Precision.HIGHEST — while mapping onto the MXU instead of
+        # HBM-bound gather/scatter (the gather pair + inverse argsort
+        # measured ~0.8 ms/step of the 11 ms flagship step; the backward of
+        # a matmul is a matmul, not a scatter-add).  Pads of x are zeroed
+        # first so a non-finite value parked in a pad frame cannot poison
+        # valid rows through 0*inf (valid gathered slots only ever read
+        # party frames, which are valid — zeroing pads changes nothing).
+        # Gated to small (P, L): the (B, P, L, L) matrix grows
+        # quadratically and was only measured a win at flagship shapes.
+        x_clean = jnp.where(umask[..., None] > 0, x, 0.0)   # select, not
+                                                            # multiply: 0*inf
+                                                            # would NaN here
+        onehot = jax.nn.one_hot(perm, L, dtype=x.dtype)    # (B, P, L, L)
+        hi = jax.lax.Precision.HIGHEST
+        gathered = jnp.einsum("bplm,bmd->bpld", onehot, x_clean, precision=hi)
+        gathered = gathered * valid[..., None]
+    else:
+        xb = jnp.broadcast_to(x[:, None], (B, P, L, x.shape[-1]))
+        gathered = jnp.take_along_axis(xb, perm[..., None], axis=2)
+        gathered = gathered * valid[..., None]
 
     flat = gathered.reshape(B * P, L, x.shape[-1])
     flat_mask = valid.reshape(B * P, L).astype(x.dtype)
     E = rnn(flat, flat_mask, deterministic=deterministic)  # (B*P, L, D_out)
     E = E.reshape(B, P, L, -1)
 
-    # inverse permutation: transpose the same one-hot matrix (row m carries
-    # perm[m] -> position l), so no second argsort is needed
-    back = jnp.einsum("bpml,bpmd->bpld", onehot, E, precision=hi)
+    if use_matmul:
+        # inverse permutation: transpose the same one-hot matrix (row m
+        # carries perm[m] -> position l), so no second argsort is needed
+        back = jnp.einsum("bpml,bpmd->bpld", onehot, E,
+                          precision=jax.lax.Precision.HIGHEST)
+    else:
+        inv = jnp.argsort(perm, axis=-1)
+        back = jnp.take_along_axis(E, inv[..., None], axis=2)
     back = back * is_p[..., None]
     return jnp.sum(back, axis=1)

@@ -55,17 +55,24 @@ def flip_valid(x, umask):
     lengths = lengths_from_mask(umask)
     t = jnp.arange(L)[None, :]
     src = jnp.where(t < lengths[:, None], lengths[:, None] - 1 - t, t)
-    if jnp.issubdtype(x.dtype, jnp.floating):
+    if jnp.issubdtype(x.dtype, jnp.floating) and L <= 128:
         # Permutation as a one-hot matmul: each output row sums exactly one
         # 1.0*value term, so Precision.HIGHEST makes it bit-identical to the
         # gather while running on the MXU — TPU gathers are HBM-bound and
         # their backward is a scatter-add (measured 0.35 ms/step of the
-        # flagship's 8.7 ms inside the encoder-RNN flips alone).  The pads
-        # keep identity rows, so they stay in place as before.
-        onehot = jax.nn.one_hot(src, L, dtype=x.dtype)        # (B, L, L)
+        # flagship's 8.7 ms inside the encoder-RNN flips alone).  Gated to
+        # L <= 128: the (B, L, L) matrix's traffic grows quadratically and
+        # was only measured a win at flagship L.  Pad rows bypass the
+        # matmul entirely (the where below), so a non-finite value parked
+        # in a pad frame cannot poison valid rows through 0*inf — the same
+        # quarantine the gather gave (double-where, see CLAUDE.md traps).
+        valid = (t < lengths[:, None])                        # (B, L)
         flat = x.reshape(B, L, -1)
+        flat = jnp.where(valid[..., None], flat, 0.0)
+        onehot = jax.nn.one_hot(src, L, dtype=x.dtype)        # (B, L, L)
         out = jnp.einsum("blm,bmd->bld", onehot, flat,
                          precision=jax.lax.Precision.HIGHEST)
+        out = jnp.where(valid[..., None], out, x.reshape(B, L, -1))
         return out.reshape(x.shape)
     return jnp.take_along_axis(
         x, src.reshape(B, L, *([1] * (x.ndim - 2))).astype(jnp.int32), axis=1

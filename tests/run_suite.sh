@@ -16,6 +16,17 @@ chunks=(
   "tests/test_trainer.py tests/test_cli.py tests/test_vmap_sweep.py tests/test_graph_parallel.py tests/test_resume_serve.py tests/test_streaming.py tests/test_profiling.py"
 )
 
+# guard: every tests/test_*.py must appear in a chunk, or a new test file
+# would silently never run under this (the canonical) suite entry point
+missing=0
+for f in tests/test_*.py; do
+  case " ${chunks[*]} " in
+    *" $f "*) ;;
+    *) echo "ERROR: $f is not in any run_suite.sh chunk" >&2; missing=1 ;;
+  esac
+done
+[ "$missing" -ne 0 ] && exit 2
+
 rc=0
 for c in "${chunks[@]}"; do
   echo "=== chunk: $c"

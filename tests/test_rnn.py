@@ -252,3 +252,51 @@ def test_birnn_scan_remat_identical_grads():
         assert float(l0) == float(l1)
         for ga, gb in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_permutation_paths_quarantine_nonfinite_pads():
+    """A non-finite value parked in a padded frame must not poison valid
+    outputs of flip_valid or crn_party_delta (the 0*inf=NaN trap: one-hot
+    matmuls sum over pad entries unless the inputs are where-selected)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mmdfn_tpu.nn.rnn import BiRNN, crn_party_delta
+    from mmdfn_tpu.utils.masking import flip_valid
+
+    rng = np.random.default_rng(17)
+    B, L, D, P = 2, 8, 5, 2
+    lengths = np.array([5, 3])
+    umask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None])
+                        .astype(np.float32))
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    x_poison = x.copy()
+    x_poison[0, 5:] = np.inf            # pads carry inf
+    x_poison[1, 3:] = np.nan            # and NaN
+
+    # flip_valid: valid rows equal the clean result, pads pass through
+    got = np.asarray(flip_valid(jnp.asarray(x_poison), umask))
+    clean = np.asarray(flip_valid(jnp.asarray(x), umask))
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_array_equal(got[b, :n], clean[b, :n])
+
+    # crn_party_delta: valid outputs finite and equal to the clean run
+    spk = rng.integers(0, P, (B, L))
+    qmask = np.zeros((B, L, P), np.float32)
+    qmask[np.arange(B)[:, None], np.arange(L)[None, :], spk] = 1.0
+    qmask *= np.asarray(umask)[..., None]
+    rnn = BiRNN(hidden_size=4, num_layers=1, bidirectional=True, cell="gru")
+    params = rnn.init(jax.random.PRNGKey(0), jnp.asarray(x), umask)["params"]
+
+    def crn(inp):
+        return crn_party_delta(
+            lambda z, m, deterministic=True: rnn.apply({"params": params}, z, m),
+            jnp.asarray(inp), jnp.asarray(qmask), umask)
+
+    out_clean = np.asarray(crn(x))
+    out_poison = np.asarray(crn(x_poison))
+    for b in range(B):
+        n = int(lengths[b])
+        assert np.isfinite(out_poison[b, :n]).all()
+        np.testing.assert_array_equal(out_poison[b, :n], out_clean[b, :n])
