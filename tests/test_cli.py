@@ -136,3 +136,25 @@ def test_cli_tensorboard_grad_histograms(tmp_path):
     assert any(t.startswith("grad/") for t in hist_tags), hist_tags
     assert len([t for t in hist_tags if t.startswith("grad/")]) > 10
     assert "train_loss" in scalar_tags
+
+
+def test_bench_production_config_is_valid():
+    """bench.py's PRODUCTION_CONFIG must always construct a Trainer and run
+    one tiny train step — the driver's benchmark depends on it, and a field
+    rename would otherwise only fail on real TPU hardware."""
+    import sys
+    import numpy as np
+    import jax
+
+    sys.path.insert(0, ".")
+    import bench
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.train import Trainer
+
+    cfg = ExperimentConfig(**{**bench.PRODUCTION_CONFIG,
+                              "batch_size": 2, "Deep_GCN_nlayers": 2})
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    batch = bench.make_batch(np.random.default_rng(0), 2, 24)
+    state, loss, _ = trainer._train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
