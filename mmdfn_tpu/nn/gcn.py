@@ -186,7 +186,11 @@ class GCNIIStack(nn.Module):
 
         if self.scan_unroll is not None:
             unroll = max(1, self.scan_unroll)
-        else:  # auto: backend is a trace-time constant ('axon' = TPU tunnel)
+        else:  # auto: backend is a trace-time constant ('axon' = TPU tunnel).
+            # Caveat (accepted): this reads the PROCESS-default backend, so a
+            # jit explicitly targeting a different backend than the default
+            # picks the other unroll — compile-time/perf only, math identical
+            # (invariance tested); set scan_unroll explicitly in that case.
             unroll = (self.nlayers
                       if jax.default_backend() in ("tpu", "axon") else 2)
         if self.scan_remat:

@@ -10,12 +10,14 @@ Design (the ring-attention analogue for graphs, per the scaling-book recipe:
 pick a mesh, annotate shardings, let collectives ride ICI):
 
 * nodes shard over the ``model`` mesh axis: each device holds an
-  ``(N/k, H)`` block of ``h`` and an ``(N/k, N)`` row-block of ``adj``
-  (column layout follows from symmetry);
-* ``hi = adj @ h`` becomes: every device computes partial products of its
-  row-block against the node block it owns, then ``psum_scatter`` reduces
-  partials and leaves the OUTPUT sharded — no device ever materializes the
-  full ``(N, N)`` matrix or the full ``hi``;
+  ``(N/k, H)`` block of ``h`` and the matching ``(N, N/k)`` COLUMN block
+  of ``adj`` (``adj[:, local]`` — the columns that multiply the node rows
+  it owns; for the symmetric normalized adjacency this equals the
+  transposed row block);
+* ``hi = adj @ h`` becomes: every device computes the full-height partial
+  product ``adj[:, local] @ h[local]``, then ``psum_scatter`` reduces
+  partials and leaves the OUTPUT sharded by rows — no device ever
+  materializes the full ``(N, N)`` matrix or the full ``hi``;
 * the GCNII affine update, ReLU, and residuals are purely node-local, so
   the per-layer communication is exactly one reduce-scatter of ``(N, H)``.
 

@@ -66,6 +66,12 @@ def flip_valid(x, umask):
         # matmul entirely (the where below), so a non-finite value parked
         # in a pad frame cannot poison valid rows through 0*inf — the same
         # quarantine the gather gave (double-where, see CLAUDE.md traps).
+        # A non-finite in a VALID frame NaNs every valid row here (0*inf
+        # across the one-hot), where the gather only contaminated rows that
+        # read it — accepted: a valid-frame non-finite was already fatal
+        # either way (it enters the RNN carry and the loss); this path just
+        # fails batch-wide instead of row-wise.  Same applies to
+        # crn_party_delta's one-hot path (nn/rnn.py).
         valid = (t < lengths[:, None])                        # (B, L)
         flat = x.reshape(B, L, -1)
         flat = jnp.where(valid[..., None], flat, 0.0)

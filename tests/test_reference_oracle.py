@@ -1,0 +1,320 @@
+"""Golden oracle: the ACTUAL reference code executed as the parity target.
+
+Every other parity test in this suite checks the build against hand-written
+replicas of the reference semantics — if the replica misread the reference,
+build and oracle would share the bug.  This file closes that gap: it imports
+``/root/reference/code`` itself (with ``torch.Tensor.cuda`` /
+``torch.nn.Module.cuda`` monkeypatched to no-ops — the reference's only CPU
+blocker is hard-coded ``.cuda()`` calls, ``model_mm.py:98,125``), builds the
+real ``DialogueGNNModel`` with the flagship CLI flags
+(``run_train_erc.py:418-452``), loads OUR flax params into its
+``state_dict``, and asserts:
+
+* forward log-prob agreement at toy depth (2 layers) AND at the production
+  depth the headline bench runs (16 layers, reason_flag) — the depth-16
+  theta ladder and the 16 chained reason-LSTM steps are oracle-checked here;
+* a 5-step Adam loss-trajectory agreement against the reference's own
+  ``FocalLoss`` (``loss.py:5-34``) and ``torch.optim.Adam``
+  (``run_train_erc.py:504-512``).
+
+Exactness strategy: the one documented deviation from the reference is that
+our BiRNNs never consume padding (mmdfn_tpu/nn/rnn.py); the deviation
+vanishes when every party's gathered sub-sequence is full-length.  The
+batches here therefore use full-length dialogues in which each dialogue is
+spoken entirely by one speaker (dialogue b -> speaker b % P): the CRN
+gather is dense per party (count in {0, L}), the reference feeds no pads to
+cuDNN, and agreement must be float-exact (2e-4 at depth 2, 1e-3 at depth
+16).  Mixed-speaker/padded behavior is covered by
+test_e2e_torch_parity.py's measured-deviation test.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.models import DialogueGNN
+
+REF = "/root/reference/code"
+
+# reference fixed dims for IEMOCAP (run_train_erc.py:359-362,387-392)
+D_TEXT, D_AUDIO, D_VISUAL = 100, 1582, 342
+D_G, D_P, D_E, D_H, D_A, GRAPH_H = 150, 150, 100, 100, 100, 100
+ALPHA, LAMDA = 0.2, 0.5            # CLI defaults (run_train_erc.py:308,310)
+SW = "3-0-1"                       # run_train_ie.sh:24
+
+
+def load_reference():
+    """Import the reference model/loss modules, CPU-patched.
+
+    ``torch_geometric`` (a CUDA-scatter dependency of the relation path,
+    ``model.py:12``) is not installed; the GDF path never instantiates its
+    classes, so module stubs satisfy the import.
+    """
+    if "model" in sys.modules and str(
+            getattr(sys.modules["model"], "__file__", "")).startswith(REF):
+        return sys.modules["model"], sys.modules["loss"]
+
+    class _StubConv:                     # never constructed on the GDF path
+        def __init__(self, *a, **k):
+            raise RuntimeError("torch_geometric stub was instantiated")
+
+    tgnn = types.ModuleType("torch_geometric.nn")
+    tgnn.RGCNConv = _StubConv
+    tgnn.GraphConv = _StubConv
+    tg = types.ModuleType("torch_geometric")
+    tg.nn = tgnn
+    sys.modules.setdefault("torch_geometric", tg)
+    sys.modules.setdefault("torch_geometric.nn", tgnn)
+
+    # the reference hard-codes .cuda() (model_mm.py:98,125 and 56 more);
+    # no-op both the tensor and module variants so it runs on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    # torch-1.4 indexing compat: ``adj[idx] = v`` with idx a (2, n) int
+    # ndarray (model_mm.py:168-172, np.diag_indices) meant tuple indexing
+    # (rows idx[0], cols idx[1]) under the pinned torch==1.4.0; torch 2.x
+    # treats the ndarray as a single dim-0 index tensor and raises a shape
+    # error.  Restore the pinned semantics for EXACTLY that key pattern —
+    # all other key types pass through untouched.
+    orig_setitem = torch.Tensor.__setitem__
+
+    def setitem_14_compat(self, key, value):
+        if (isinstance(key, np.ndarray) and key.ndim == 2
+                and key.dtype.kind in "iu" and key.shape[0] == self.dim()):
+            key = tuple(torch.as_tensor(k) for k in key)
+        return orig_setitem(self, key, value)
+
+    torch.Tensor.__setitem__ = setitem_14_compat
+
+    # p=0 dropout de-aliasing: with dropout=0.0 (used here so both
+    # trajectories are deterministic) F.dropout returns its INPUT tensor,
+    # so the reference's in-place ``layer_inner += q`` (model_GCN.py:472)
+    # mutates the saved ReLU output and torch 2.x autograd raises.  The
+    # published configs all use dropout>0 (fresh tensor), so clone-on-alias
+    # is value-identical to the pinned behavior.
+    orig_dropout = torch.nn.functional.dropout
+
+    def dropout_unaliased(input, p=0.5, training=True, inplace=False):
+        out = orig_dropout(input, p, training, inplace)
+        return out.clone() if out is input else out
+
+    torch.nn.functional.dropout = dropout_unaliased
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import model as ref_model          # noqa: F401  (reference code/model.py)
+    import loss as ref_loss            # noqa: F401  (reference code/loss.py)
+    return ref_model, ref_loss
+
+
+# state_dict entries intentionally NOT populated from our params: parameters
+# the reference allocates but never uses on the flagship forward path
+# (MM_GCN.a_fc/v_fc/l_fc & co, model_mm.py:55-75; MaskedEdgeAttention is
+# relation-path-only, model.py:920; gatedatt only for att_type='gated';
+# speaker/modal embeddings gated off by use_speaker/use_modal=False).
+DEAD_PREFIXES = (
+    "att_model.", "gatedatt.",
+    "graph_model.a_fc.", "graph_model.v_fc.", "graph_model.l_fc.",
+    "graph_model.feature_fc.", "graph_model.final_fc.",
+    "graph_model.modal_embeddings.", "graph_model.speaker_embeddings.",
+    "graph_model.a_spk_embs.", "graph_model.v_spk_embs.",
+    "graph_model.l_spk_embs.",
+)
+
+
+def build_reference_model(nlayers, dropout, reason_flag=True, n_speakers=2,
+                          n_classes=6):
+    """The real DialogueGNNModel with the flagship flag assembly
+    (run_train_erc.py:416-452 + run_train_ie.sh flags)."""
+    ref_model, _ = load_reference()
+    return ref_model.DialogueGNNModel(
+        "LSTM", D_TEXT, D_G, D_P, D_E, D_H, D_A, GRAPH_H,
+        n_speakers=n_speakers, max_seq_len=200, window_past=10,
+        window_future=10, n_classes=n_classes, listener_state=False,
+        context_attention="general", dropout=dropout, nodal_attention=True,
+        no_cuda=True, graph_type="GDF", use_topic=False, alpha=ALPHA,
+        lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
+        use_residue=True, D_m_v=D_VISUAL, D_m_a=D_AUDIO, modals="avl",
+        att_type="concat_subsequently", av_using_lstm=False,
+        Deep_GCN_nlayers=nlayers, dataset="IEMOCAP", use_speaker=False,
+        use_modal=False, reason_flag=reason_flag, multi_modal=True,
+        use_crn_speaker=True, speaker_weights=SW, modal_weight=1.0)
+
+
+def _gru_entries(sd, torch_name, p):
+    """Map our BiRNN params onto a torch nn.GRU(num_layers=2, bidi) sd."""
+    for layer in range(2):
+        for di, d in enumerate(("fwd", "bwd")):
+            suf = "_reverse" if di else ""
+            ours = f"l{layer}_{d}"
+            sd[f"{torch_name}.weight_ih_l{layer}{suf}"] = torch.tensor(
+                np.asarray(p[f"w_ih_{ours}"]).T)
+            sd[f"{torch_name}.weight_hh_l{layer}{suf}"] = torch.tensor(
+                np.asarray(p[f"w_hh_{ours}"]).T)
+            sd[f"{torch_name}.bias_ih_l{layer}{suf}"] = torch.tensor(
+                np.asarray(p[f"b_ih_{ours}"]))
+            sd[f"{torch_name}.bias_hh_l{layer}{suf}"] = torch.tensor(
+                np.asarray(p[f"b_hh_{ours}"]))
+
+
+def load_ours_into_reference(ref, params):
+    """Write our flax param tree into the reference model's state_dict."""
+    t = lambda a: torch.tensor(np.asarray(a))
+    sd = {}
+    for m in ("a", "v", "l"):
+        sd[f"linear_{m}.weight"] = t(params[f"linear_{m}"]["kernel"]).T
+        sd[f"linear_{m}.bias"] = t(params[f"linear_{m}"]["bias"])
+    _gru_entries(sd, "lstm_l", params["lstm_l"])
+    _gru_entries(sd, "rnn_parties", params["rnn_parties"])
+
+    g = params["graph_model"]["graph_net"]
+    sd["graph_model.graph_net.fcs.0.weight"] = t(g["fc_in"]["kernel"]).T
+    sd["graph_model.graph_net.fcs.0.bias"] = t(g["fc_in"]["bias"])
+    conv_w = np.asarray(g["conv_w"])            # (nlayers, 2H, H), same
+    for i in range(conv_w.shape[0]):            # orientation as torch.mm
+        sd[f"graph_model.graph_net.convs.{i}.weight"] = t(conv_w[i])
+    # reason-LSTM: one shared nn.LSTM(H, H, 1) stepped per layer
+    # (model_GCN.py:433,458-467) vs our LSTMCellStep params
+    sd["graph_model.graph_net.rnn.weight_ih_l0"] = t(g["reason_w_ih"]).T
+    sd["graph_model.graph_net.rnn.weight_hh_l0"] = t(g["reason_w_hh"]).T
+    sd["graph_model.graph_net.rnn.bias_ih_l0"] = t(g["reason_b_ih"])
+    sd["graph_model.graph_net.rnn.bias_hh_l0"] = t(g["reason_b_hh"])
+
+    sd["smax_fc.weight"] = t(params["smax_fc"]["kernel"]).T
+    sd["smax_fc.bias"] = t(params["smax_fc"]["bias"])
+
+    result = ref.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    stray = [k for k in result.missing_keys
+             if not k.startswith(DEAD_PREFIXES)]
+    assert not stray, f"live reference params not covered by ours: {stray}"
+
+
+def make_exact_batch(rng, B, L, n_speakers=2, n_classes=6):
+    """Full-length dialogues, one speaker per dialogue (see module doc)."""
+    umask = np.ones((B, L), np.float32)
+    qmask = np.zeros((B, L, n_speakers), np.float32)
+    for b in range(B):
+        qmask[b, :, b % n_speakers] = 1.0
+    text = rng.standard_normal((B, L, D_TEXT)).astype(np.float32)
+    audio = rng.standard_normal((B, L, D_AUDIO)).astype(np.float32)
+    visual = rng.standard_normal((B, L, D_VISUAL)).astype(np.float32)
+    label = rng.integers(0, n_classes, size=(B, L)).astype(np.int32)
+    return dict(text=text, audio=audio, visual=visual, qmask=qmask,
+                umask=umask, label=label)
+
+
+def reference_forward(ref, batch):
+    """Drive the real forward with the reference's (seq-first) calling
+    convention (run_train_erc.py:194-197): returns packed (sum L, C)
+    log-probs — forward's first return (model.py:1407)."""
+    B, L = batch["umask"].shape
+    tt = lambda a: torch.tensor(np.swapaxes(a, 0, 1))   # (B,L,..)->(L,B,..)
+    return ref(tt(batch["text"]), tt(batch["qmask"]),
+               torch.tensor(batch["umask"]), [L] * B,
+               tt(batch["audio"]), tt(batch["visual"]))[0]
+
+
+def build_ours(nlayers, dropout, n_speakers=2, n_classes=6):
+    return DialogueGNN(
+        base_model="LSTM", D_m=D_TEXT, D_m_a=D_AUDIO, D_m_v=D_VISUAL,
+        n_speakers=n_speakers, n_classes=n_classes, dropout=dropout,
+        graph_type="GDF", reason_flag=True, deep_gcn_nlayers=nlayers,
+        use_crn_speaker=True, speaker_weights=SW, alpha=ALPHA, lamda=LAMDA)
+
+
+@pytest.mark.parametrize("nlayers,atol", [
+    (2, 1e-4),
+    (16, 1e-4),     # the production depth (run_train_ie.sh:19, bench.py);
+                    # measured max diff 1.7e-6 — tolerance leaves ~50x slack
+])
+def test_forward_matches_real_reference(rng, nlayers, atol):
+    B, L = 3, 7
+    batch = make_exact_batch(rng, B, L)
+    ours_model = build_ours(nlayers, dropout=0.4)
+    variables = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    ours = np.asarray(ours_model.apply(
+        variables, jnp.array(batch["text"]), jnp.array(batch["qmask"]),
+        jnp.array(batch["umask"]), jnp.array(batch["audio"]),
+        jnp.array(batch["visual"]), deterministic=True))
+
+    ref = build_reference_model(nlayers, dropout=0.4)
+    load_ours_into_reference(ref, variables["params"])
+    ref.eval()
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nreal-reference forward diff @ {nlayers} layers: "
+          f"max={diff.max():.2e} mean={diff.mean():.2e}")
+    assert diff.max() < atol, (
+        f"forward mismatch vs the real reference at {nlayers} layers: "
+        f"max={diff.max():.2e}")
+
+
+def test_training_trajectory_matches_real_reference(rng):
+    """5 Adam steps at PRODUCTION depth against the reference's own
+    FocalLoss + torch.optim.Adam (run_train_erc.py:504-512), dropout=0 so
+    both trajectories are deterministic."""
+    _, ref_loss = load_reference()
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.data.batching import Batch
+    from mmdfn_tpu.train import Trainer
+    from mmdfn_tpu.train.trainer import prepare_inputs
+
+    B, L, STEPS, NL = 2, 6, 5, 16
+    LR, L2, GAMMA = 1e-3, 1e-4, 0.5
+    batch = make_exact_batch(rng, B, L)
+
+    cfg = ExperimentConfig(
+        dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
+        Deep_GCN_nlayers=NL, dropout=0.0, lr=LR, l2=L2, gamma=GAMMA,
+        class_weight=False, batch_size=B, buckets=(L,), speaker_weights=SW)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+
+    ref = build_reference_model(NL, dropout=0.0)
+    load_ours_into_reference(
+        ref, jax.tree_util.tree_map(np.asarray, state.params))
+    ref.train()
+    loss_fn = ref_loss.FocalLoss(gamma=GAMMA)
+    opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=L2)
+
+    inputs = prepare_inputs(cfg, Batch(
+        text=batch["text"], visual=batch["visual"], audio=batch["audio"],
+        qmask=batch["qmask"], umask=batch["umask"], label=batch["label"]))
+    packed_label = torch.tensor(batch["label"].reshape(-1).astype(np.int64))
+
+    ours, theirs = [], []
+    for step in range(STEPS):
+        state, loss, _ = trainer._train_step(state, dict(inputs),
+                                             jax.random.PRNGKey(step))
+        ours.append(float(loss))
+
+        opt.zero_grad()
+        log_prob = reference_forward(ref, batch)
+        tloss = loss_fn(log_prob, packed_label)
+        tloss.backward()
+        opt.step()
+        theirs.append(float(tloss.detach()))
+
+    # measured drift ~2e-6/step; the linear budget leaves ~50x headroom
+    # while still catching a systematic gradient mismatch (which compounds
+    # multiplicatively) within 2-3 steps
+    drift = np.abs(np.asarray(ours) - np.asarray(theirs))
+    budget = 1e-4 * (np.arange(STEPS) + 1)
+    print(f"\nreal-reference trajectory: ours={ours} theirs={theirs}")
+    assert (drift <= budget).all(), (
+        f"loss trajectory diverged from the real reference:\n ours={ours}\n"
+        f" theirs={theirs}\n drift={drift.tolist()}")
