@@ -18,8 +18,11 @@ import time
 import numpy as np
 
 # measured by benchmarks/torch_cpu_baseline.py on this machine (1 CPU core,
-# torch 2.x eager, batch 32, lengths U[20,80], 16 GCNII layers)
+# torch 2.x eager, batch 32, lengths U[20,80], 16 GCNII layers).  The date
+# stamp travels in the JSON so round-over-round ratios stay attributable;
+# re-measure with `python benchmarks/torch_cpu_baseline.py` when in doubt.
 TORCH_CPU_BASELINE_DPS = 0.712
+TORCH_CPU_BASELINE_DATE = "2026-08-10"
 
 BATCH = 32
 BUCKET = 80
@@ -62,8 +65,10 @@ def main():
     import jax
 
     from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.runtime.profiling import enable_compilation_cache
     from mmdfn_tpu.train import Trainer
 
+    enable_compilation_cache()
     cfg = ExperimentConfig(**PRODUCTION_CONFIG)
     trainer = Trainer(cfg)
     state = trainer.init_state()
@@ -86,10 +91,12 @@ def main():
         blocked.append(time.perf_counter() - t0)
     blocked_dt = sorted(blocked)[len(blocked) // 2]
 
-    # best-of-3 pipelined windows: the chip is reached over a shared tunnel
-    # and single-window readings can be inflated several-fold by contention
+    # 5 pipelined windows: the chip is reached over a shared tunnel and
+    # single-window readings can be inflated several-fold by contention.
+    # Headline = best window; the MEDIAN window is reported alongside so
+    # round-over-round deltas under the contention noise stay judgeable.
     windows = []
-    for w in range(3):
+    for w in range(5):
         t0 = time.perf_counter()
         for i in range(STEPS):
             state, loss, _ = trainer._train_step(
@@ -98,6 +105,44 @@ def main():
         jax.block_until_ready(loss)
         windows.append((time.perf_counter() - t0) / STEPS)
     best_dt = min(windows)
+    median_dt = sorted(windows)[len(windows) // 2]
+
+    # noise-free secondary metric: on-device busy ms/step from a profiler
+    # trace (immune to tunnel RTT); null if the xplane tooling is absent
+    device_busy_ms = None
+    try:
+        import glob
+        import tempfile
+        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+        with jax.profiler.trace(trace_dir):
+            for i in range(10):
+                state, loss, _ = trainer._train_step(
+                    state, batches[i % len(batches)],
+                    jax.random.fold_in(key, 10_000 + i))
+            jax.block_until_ready(loss)
+        try:
+            from xprof.convert import raw_to_tool_data
+        except ImportError:
+            from tensorboard_plugin_profile.convert import raw_to_tool_data
+        paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb",
+                                 recursive=True))
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            [paths[-1]], "framework_op_stats", {})
+        table = json.loads(data.decode() if isinstance(data, bytes)
+                           else data)[0]
+        ids = [c["id"] for c in table["cols"]]
+
+        def col(row, name):
+            v = row["c"][ids.index(name)]
+            return v["v"] if v else None
+
+        busy_us = sum(float(col(r, "total_self_time") or 0.0)
+                      for r in table["rows"]
+                      if col(r, "host_or_device") == "Device"
+                      and col(r, "type") != "IDLE")
+        device_busy_ms = round(busy_us / 1e4, 3)      # 10-step trace
+    except Exception:
+        pass
 
     # plausibility guard: per-step blocking pays a full tunnel round-trip
     # (~30ms) that pipelining legitimately amortizes (3-4x), but a reading
@@ -108,6 +153,8 @@ def main():
     # blocked_dps (tunnel-round-trip-inclusive median) and window_spread
     # (max/min over the 3 pipelined windows) expose run-to-run variance so
     # round-over-round regressions under the noise floor stay visible
+    # vs_baseline divides a bf16-scan TPU run by the f32 eager-torch CPU
+    # baseline (the config string says so); baseline date-stamped above
     print(json.dumps({
         "metric": "MM-DFN flagship train dialogues/sec "
                   f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers bf16-scan, "
@@ -115,7 +162,11 @@ def main():
         "value": round(dps, 2),
         "unit": "dialogues/sec",
         "vs_baseline": round(dps / TORCH_CPU_BASELINE_DPS, 2),
+        "baseline_dps": TORCH_CPU_BASELINE_DPS,
+        "baseline_date": TORCH_CPU_BASELINE_DATE,
+        "median_window_dps": round(BATCH / median_dt, 2),
         "blocked_dps": round(BATCH / blocked_dt, 2),
+        "device_busy_ms": device_busy_ms,
         "window_dps": [round(BATCH / w, 2) for w in windows],
         "window_spread": round(max(windows) / min(windows), 3)}))
 

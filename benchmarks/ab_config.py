@@ -22,8 +22,10 @@ BASE = PRODUCTION_CONFIG
 
 def build(overrides):
     from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.runtime.profiling import enable_compilation_cache
     from mmdfn_tpu.train import Trainer
 
+    enable_compilation_cache()
     trainer = Trainer(ExperimentConfig(**{**BASE, **overrides}))
     return trainer, trainer.init_state()
 

@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="minimize padding waste (build-side optimization)")
     add("--n_data_devices", type=int, default=0,
         help="data-parallel over this many devices (0 = single device)")
+    add("--n_model_devices", type=int, default=1,
+        help="node-shard the GCNII stack's graph over this many devices "
+             "(tensor parallelism for the single-huge-graph regime; "
+             "composes with --n_data_devices on a 2-D mesh)")
     add("--profile_dir", type=str, default=None,
         help="write a jax.profiler trace of training to this dir")
     add("--debug_nans", action="store_true", default=False,
@@ -129,6 +133,13 @@ def build_parser() -> argparse.ArgumentParser:
     add("--rnn_scan_remat", action="store_true", default=False,
         help="checkpoint the RNN scan step (backward recomputes gates "
              "instead of reading per-step residuals from HBM)")
+    add("--edge_attn_type", type=str, default="attn1",
+        choices=["attn1", "attn2", "attn3"],
+        help="relation-path edge-weight branch (the reference hard-codes "
+             "attn1; attn2/attn3 are its dead variants)")
+    add("--rnn_backend", type=str, default=None, choices=["xla", "pallas"],
+        help="'pallas': fused bi-GRU recurrence kernel (fwd + custom bwd) "
+             "replacing the per-direction lax.scan chains")
     add("--gcn_scan_remat", action="store_true", default=False,
         help="checkpoint each GCNII layer (backward recomputes adj@h + "
              "gates instead of reading per-layer residuals from HBM)")
@@ -163,6 +174,8 @@ def config_from_args(args) -> "ExperimentConfig":
         kw["gcn_compute_dtype"] = None
     if kw.get("rnn_compute_dtype") == "float32":
         kw["rnn_compute_dtype"] = None
+    if kw.get("rnn_backend") == "xla":
+        kw["rnn_backend"] = None
     return ExperimentConfig(**kw)
 
 
@@ -203,9 +216,10 @@ def main(argv=None) -> int:
     from mmdfn_tpu.train import Trainer
 
     mesh = None
-    if args.n_data_devices:
+    if args.n_data_devices or args.n_model_devices > 1:
         from mmdfn_tpu.runtime.mesh import make_mesh
-        mesh = make_mesh(n_data=args.n_data_devices)
+        mesh = make_mesh(n_data=args.n_data_devices or 1,
+                         n_model=args.n_model_devices)
 
     if cfg.dataset == "DailyDialogue":
         from mmdfn_tpu.train.daily_trainer import DailyTrainer

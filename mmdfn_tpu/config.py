@@ -149,6 +149,16 @@ class ExperimentConfig:
                                              # backward recomputes gate math
                                              # instead of reading per-step
                                              # residuals back from HBM
+    edge_attn_type: str = "attn1"            # relation-path edge attention
+                                             # branch (attn1 hard-coded
+                                             # upstream, model.py:445;
+                                             # attn2/attn3 dead there,
+                                             # implemented behind this flag)
+    rnn_backend: Optional[str] = None        # 'pallas': fused bi-GRU
+                                             # recurrence kernel (fwd +
+                                             # custom bwd, ops/pallas_rnn.py)
+                                             # replacing the per-direction
+                                             # lax.scan chains
     gcn_scan_remat: bool = False             # same for the GCNII layer scan
                                              # (recompute adj@h + gates in
                                              # backward)

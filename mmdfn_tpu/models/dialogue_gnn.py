@@ -25,7 +25,7 @@ Deliberate fidelity notes:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -84,9 +84,20 @@ class DialogueGNN(nn.Module):
     gcn_scan_remat: bool = False             # GCNII per-layer remat
     rnn_fuse_directions: bool = False        # fwd+bwd in one scan per layer
     rnn_scan_remat: bool = False             # recompute RNN gates in backward
+    rnn_backend: Optional[str] = None        # 'pallas': fused bi-GRU kernel
+    edge_attn_type: str = "attn1"            # relation-path edge weights:
+                                             # attn1 (reference hard-coded) /
+                                             # attn2 / attn3 (dead upstream,
+                                             # see nn/attention.py)
+    gcn_spmm: Optional[Callable] = None      # node-sharded adj@h override
+                                             # (tensor parallelism over the
+                                             # mesh model axis; set by the
+                                             # Trainer when n_model_devices
+                                             # > 1, see runtime/mesh.py)
 
     @classmethod
-    def from_config(cls, cfg: ExperimentConfig) -> "DialogueGNN":
+    def from_config(cls, cfg: ExperimentConfig,
+                    gcn_spmm: Optional[Callable] = None) -> "DialogueGNN":
         info = cfg.info
         multi_modal = cfg.multi_modal and cfg.mm_fusion_mthd in (
             "gated", "concat_subsequently", "mfn", "mfn_only", "tfn_only",
@@ -128,6 +139,9 @@ class DialogueGNN(nn.Module):
             gcn_scan_remat=cfg.gcn_scan_remat,
             rnn_fuse_directions=cfg.rnn_fuse_directions,
             rnn_scan_remat=cfg.rnn_scan_remat,
+            rnn_backend=cfg.rnn_backend,
+            edge_attn_type=cfg.edge_attn_type,
+            gcn_spmm=gcn_spmm,
         )
 
     @property
@@ -155,14 +169,14 @@ class DialogueGNN(nn.Module):
                             dropout=self.dropout,
                             compute_dtype=self.rnn_compute_dtype,
                             fuse_directions=self.rnn_fuse_directions,
-                            scan_remat=self.rnn_scan_remat, name="lstm")
+                            scan_remat=self.rnn_scan_remat, backend=self.rnn_backend, name="lstm")
                 emo = rnn(U, umask, deterministic=deterministic)
                 if self.use_crn_speaker:
                     parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                     cell="gru", dropout=self.dropout,
                                     compute_dtype=self.rnn_compute_dtype,
                                     fuse_directions=self.rnn_fuse_directions,
-                                    scan_remat=self.rnn_scan_remat,
+                                    scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
                                     name="rnn_parties")
                     delta = crn_party_delta(
                         lambda x, m, deterministic=True: parties(
@@ -175,7 +189,7 @@ class DialogueGNN(nn.Module):
                                 cell="gru", dropout=self.dropout,
                                 compute_dtype=self.rnn_compute_dtype,
                                 fuse_directions=self.rnn_fuse_directions,
-                                scan_remat=self.rnn_scan_remat,
+                                scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
                                 name="rnn_parties")
 
                 proj = {}
@@ -187,7 +201,7 @@ class DialogueGNN(nn.Module):
                         base["a"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                           compute_dtype=self.rnn_compute_dtype,
                                           fuse_directions=self.rnn_fuse_directions,
-                                          scan_remat=self.rnn_scan_remat,
+                                          scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
                                           name="lstm_a")(proj["a"], umask,
                                                          deterministic)
                 if "v" in modals:
@@ -197,7 +211,7 @@ class DialogueGNN(nn.Module):
                         base["v"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                           compute_dtype=self.rnn_compute_dtype,
                                           fuse_directions=self.rnn_fuse_directions,
-                                          scan_remat=self.rnn_scan_remat,
+                                          scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
                                           name="lstm_v")(proj["v"], umask,
                                                          deterministic)
                 if "l" in modals:
@@ -205,7 +219,7 @@ class DialogueGNN(nn.Module):
                     base["l"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                       compute_dtype=self.rnn_compute_dtype,
                                       fuse_directions=self.rnn_fuse_directions,
-                                      scan_remat=self.rnn_scan_remat,
+                                      scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
                                       name="lstm_l")(proj["l"], umask,
                                                      deterministic)
 
@@ -234,7 +248,7 @@ class DialogueGNN(nn.Module):
             emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
                                   compute_dtype=self.rnn_compute_dtype,
                                   fuse_directions=self.rnn_fuse_directions,
-                                  scan_remat=self.rnn_scan_remat,
+                                  scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
                                   name="gru")(text, umask, deterministic)
         elif self.base_model == "DialogRNN":
             # single-stream party-state base encoder (model.py:1021-1032);
@@ -290,7 +304,8 @@ class DialogueGNN(nn.Module):
                 modal_weight=self.modal_weight,
                 compute_dtype=self.gcn_compute_dtype,
                 scan_unroll=self.gcn_scan_unroll,
-                scan_remat=self.gcn_scan_remat, name="graph_model")
+                scan_remat=self.gcn_scan_remat, spmm=self.gcn_spmm,
+                name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -320,7 +335,9 @@ class DialogueGNN(nn.Module):
         if self.graph_type == "relation":
             edge_mask = window_edge_mask(umask, self.window_past, self.window_future)
             rel_ids = relation_type_ids(qmask)
-            att_model = MaskedEdgeAttention(self.max_seq_len, name="att_model")
+            att_model = MaskedEdgeAttention(self.max_seq_len,
+                                            attn_type=self.edge_attn_type,
+                                            name="att_model")
             n_relations = 2 * self.n_speakers ** 2
 
             def make_net(name):
@@ -372,7 +389,8 @@ class DialogueGNN(nn.Module):
                     use_residue=self.use_residue, reason_flag=self.reason_flag,
                     compute_dtype=self.gcn_compute_dtype,
                     scan_unroll=self.gcn_scan_unroll,
-                    scan_remat=self.gcn_scan_remat, name=name)
+                    scan_remat=self.gcn_scan_remat, spmm=self.gcn_spmm,
+                    name=name)
 
             if not self.multi_modal:
                 return make_net("graph_net")(

@@ -20,7 +20,7 @@ Deliberate deviations from the reference (each documented in DESIGN.md):
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -62,6 +62,8 @@ class MMGCN(nn.Module):
     compute_dtype: Optional[str] = None   # 'bfloat16' scan fast path
     scan_unroll: Optional[int] = None     # layer-scan unroll (see GCNIIStack)
     scan_remat: bool = False              # layer remat (see GCNIIStack)
+    spmm: Optional[Callable] = None       # node-sharded adj@h override
+                                          # (tensor parallelism; GCNIIStack)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -99,7 +101,7 @@ class MMGCN(nn.Module):
             dropout_mode="after", post_loop_dropout=False,
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
-            name="graph_net")
+            spmm=self.spmm, name="graph_net")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)   # model_GCN.py:482-483
@@ -210,6 +212,7 @@ class DeepGCNII(nn.Module):
     compute_dtype: Optional[str] = None
     scan_unroll: Optional[int] = None
     scan_remat: bool = False
+    spmm: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qmask: jnp.ndarray, umask: jnp.ndarray,
@@ -232,7 +235,7 @@ class DeepGCNII(nn.Module):
             post_loop_dropout=not self.lyc,
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
-            name="stack")
+            spmm=self.spmm, name="stack")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)

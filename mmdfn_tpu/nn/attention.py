@@ -165,20 +165,46 @@ class MultiHeadAttention(nn.Module):
 
 
 class MaskedEdgeAttention(nn.Module):
-    """Dense edge-weight attention for relation graphs (``attn1`` branch,
-    ``model.py:439-471``).
+    """Dense edge-weight attention for relation graphs
+    (``model.py:420-509``).
 
-    Returns the full (B, L, L) edge-weight matrix ``w[b, src, dst]``:
-    a linear map scores every (channel=src, position=dst) pair, softmax over
-    positions, then masking to the window edge set and renormalization.
-    The reference's ``1e-10`` off-edge leakage in the denominator is kept.
+    Returns the full (B, L, L) edge-weight matrix ``w[b, src, dst]``.
+
+    ``attn_type`` selects the reference's three branches (``attn1`` is
+    hard-coded upstream, ``model.py:445``; attn2/attn3 are dead there but
+    implemented here behind the flag so the skip is a choice, not a gap):
+
+    * ``attn1`` (the paper's Eq. 1): a linear map scores every
+      (channel=src, position=dst) pair, softmax over positions, masking to
+      the window edge set, renormalization.  The reference's ``1e-10``
+      off-edge leakage in the denominator is kept.
+    * ``attn2`` (``model.py:473-491``): per-node SimpleAttention over the
+      node's neighbourhood — the scalar score of each neighbour,
+      softmax-normalized within each source row's edge set.  (The score
+      depends only on the destination, so the dense form is one masked
+      softmax of a broadcast score row.)
+    * ``attn3`` (``model.py:493-507``): DEGENERATE all-ones edge weights —
+      the reference applies its multi-head ``Attention`` per node and that
+      module softmaxes over the fused head-batch axis (``model.py:160``),
+      which is a singleton there, so every attention weight is exactly 1.0
+      regardless of the mlp-score parameters (proved against the real
+      reference module in tests/test_attention_oracle.py).  No params.
     """
 
     max_seq_len: int
+    attn_type: str = "attn1"
 
     @nn.compact
     def __call__(self, M: jnp.ndarray, edge_mask: jnp.ndarray) -> jnp.ndarray:
         B, L, _ = M.shape
+        if self.attn_type == "attn2":
+            s = TorchDense(1, use_bias=False, name="simpleatt_scalar")(
+                M)[..., 0]                                      # (B, dst)
+            logits = jnp.where(edge_mask > 0, s[:, None, :], -1e30)
+            alpha = jax.nn.softmax(logits, axis=-1)
+            return jnp.where(edge_mask > 0, alpha, 0.0)
+        if self.attn_type == "attn3":
+            return edge_mask
         scale = TorchDense(self.max_seq_len, use_bias=False, name="scalar")(M)
         # (B, pos, channel) -> (B, channel(src), pos(dst)); softmax over pos
         alpha = jax.nn.softmax(jnp.swapaxes(scale, 1, 2), axis=-1)[:, :L, :]

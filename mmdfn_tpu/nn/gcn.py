@@ -14,7 +14,7 @@ GCNII affine update.  The adjacency is built once per forward (see
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,14 +27,18 @@ from mmdfn_tpu.utils import torch_init
 
 def gcnii_conv(h: jnp.ndarray, adj: jnp.ndarray, h0: jnp.ndarray,
                W: jnp.ndarray, theta: jnp.ndarray, alpha: float,
-               variant: bool) -> jnp.ndarray:
+               variant: bool, spmm=None) -> jnp.ndarray:
     """One GCNII graph convolution (reference ``model_GCN.py:176-189``).
 
     ``hi = A h``; variant: ``support = [hi; h0]``, ``r = (1-a) hi + a h0``;
     else ``support = r = (1-a) hi + a h0``; output
     ``theta * support W + (1-theta) * r``.
+
+    ``spmm`` overrides the dense batched matmul (e.g. the node-sharded
+    tensor-parallel product, ``parallel/graph_parallel.py``).
     """
-    hi = jnp.einsum("bnm,bmh->bnh", adj, h)
+    hi = (jnp.einsum("bnm,bmh->bnh", adj, h) if spmm is None
+          else spmm(adj, h))
     if variant:
         support = jnp.concatenate([hi, h0], axis=-1)
         r = (1.0 - alpha) * hi + alpha * h0
@@ -105,6 +109,12 @@ class GCNIIStack(nn.Module):
                                           # of reading per-layer residuals
                                           # from HBM (extra MXU FLOPs are
                                           # ~20x cheaper than the traffic)
+    spmm: Optional[Callable] = None       # override for the per-layer
+                                          # adj@h product — set to
+                                          # parallel.sharded_spmm_batched
+                                          # (via Trainer n_model_devices>1)
+                                          # to run the stack node-sharded
+                                          # over the mesh's model axis
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -177,7 +187,8 @@ class GCNIIStack(nn.Module):
             if self.reason_flag:
                 q = h
                 h, state = lstm_step(h, state)
-            h = nn.relu(gcnii_conv(h, adj, h0, W_i, theta_i, self.alpha, self.variant))
+            h = nn.relu(gcnii_conv(h, adj, h0, W_i, theta_i, self.alpha,
+                                   self.variant, spmm=self.spmm))
             if self.dropout_mode == "after" and use_dropout:
                 h = _dropout(h, key_i, self.dropout)
             if self.reason_flag:

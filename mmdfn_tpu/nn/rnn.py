@@ -175,6 +175,17 @@ class BiRNN(nn.Module):
                                           # backward recomputes gate math
                                           # instead of reading per-step
                                           # residuals back from HBM
+    backend: Optional[str] = None         # 'pallas': run each bidirectional
+                                          # GRU layer's recurrence as ONE
+                                          # fused Pallas kernel (fwd + custom
+                                          # bwd, ops/pallas_rnn.py); falls
+                                          # back to the scans for LSTM /
+                                          # unidirectional.  The kernel is
+                                          # f32 internally (compute_dtype
+                                          # only affects the XLA projections
+                                          # around it); scan_remat is moot
+                                          # (the kernel's backward always
+                                          # recomputes gates in VMEM).
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, umask: Optional[jnp.ndarray] = None,
@@ -208,7 +219,23 @@ class BiRNN(nn.Module):
                 params[d] = (w_ih, w_hh, b_ih, b_hh)
 
             h0 = jnp.zeros((B, H), dtype=out.dtype)
-            if self.fuse_directions and self.bidirectional:
+            if (self.backend == "pallas" and self.bidirectional
+                    and self.cell == "gru"):
+                from mmdfn_tpu.ops.pallas_rnn import fused_bigru_layer
+                w_ih_f, w_hh_f, b_ih_f, b_hh_f = params["fwd"]
+                w_ih_b, w_hh_b, b_ih_b, b_hh_b = params["bwd"]
+                xg_f = out @ w_ih_f + b_ih_f
+                xg_b = flip(out) @ w_ih_b + b_ih_b
+                # interpret off-TPU (CI runs the kernel on the CPU
+                # interpreter; same auto-resolution caveat as GCNIIStack's
+                # scan_unroll — trace-time process-default backend)
+                interp = jax.default_backend() not in ("tpu", "axon")
+                ys_f, ys_b = fused_bigru_layer(
+                    xg_f, xg_b, w_hh_f, b_hh_f, w_hh_b, b_hh_b,
+                    interpret=interp)
+                feats = [ys_f.astype(out.dtype),
+                         flip(ys_b.astype(out.dtype))]
+            elif self.fuse_directions and self.bidirectional:
                 w_ih_f, w_hh_f, b_ih_f, b_hh_f = params["fwd"]
                 w_ih_b, w_hh_b, b_ih_b, b_hh_b = params["bwd"]
                 xg_f = out @ w_ih_f + b_ih_f

@@ -1,0 +1,317 @@
+"""Pallas TPU kernel: fused bidirectional GRU recurrence (fwd + custom bwd).
+
+The flagship step's measured ceiling is sequential-scan latency, not FLOPs
+(DESIGN.md round-2 op profile: ~10 of ~11.75 ms device-busy in scan chains).
+The encoder RNNs — the reference's cuDNN GRUs (``code/model.py:866-868``) —
+run as 4 separate 80-step ``lax.scan`` chains per step (2 layers x 2
+directions for ``lstm_l`` and again for ``rnn_parties``), each step a tiny
+``(B,100) @ (100,300)`` matmul that pays a full XLA while-loop iteration of
+HBM round-trips for its carry and per-step residuals.
+
+This kernel runs ONE layer's BOTH directions as a single Pallas grid over
+time: the grid dimension is the time axis (sequential on TPU), the hidden
+carries live in VMEM scratch that persists across grid steps, and Pallas's
+block pipeline auto-double-buffers the per-step ``xg`` blocks from HBM while
+the previous step computes.  Per time step the kernel does exactly two
+aligned ``(Bp, Hp) @ (Hp, 3Hp)`` MXU matmuls + VPU gate math — no dispatch,
+no carry round-trip, no residual writes.
+
+The backward is a second Pallas kernel walking the grid in reverse time,
+recomputing the gate pre-activations from the carried state (the same trade
+``rnn_scan_remat`` makes, DESIGN.md) and accumulating ``dW_hh``/``db_hh``
+in VMEM scratch; ``dxg`` streams out per step.  Everything outside the
+recurrence (input projections, padding, flips) stays in XLA, which
+differentiates it automatically around the ``jax.custom_vjp`` boundary.
+
+Gate math and layouts match ``mmdfn_tpu.nn.rnn._gru_scan`` exactly (torch
+GRU semantics: r,z,n gate order, ``n = tanh(xn + r * (W_hn h + b_hn))``).
+Gates are padded PER GATE to lane-aligned ``Hp = ceil(H/128)*128`` blocks so
+in-kernel gate slices stay tile-aligned; zero-padding is invariant under the
+gate math (pad columns of the carry stay exactly 0: r=z=sigmoid(0)=0.5,
+n=tanh(0)=0 => h' = 0.5*0 + 0.5*0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gru_step(xg, hg, h, Hp):
+    """Torch GRU gate math on gate-padded (B, 3Hp) pre-activations."""
+    xr, xz, xn = xg[:, :Hp], xg[:, Hp:2 * Hp], xg[:, 2 * Hp:]
+    hr, hz, hn = hg[:, :Hp], hg[:, Hp:2 * Hp], hg[:, 2 * Hp:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def _fwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
+                ysf_ref, ysb_ref, hf_scr, hb_scr, *, Hp: int, T: int):
+    """One grid step = T time steps (block): amortizes the per-grid-step
+    pipeline overhead that made the 1-step-per-grid version only ~5% faster
+    end-to-end (Pallas still double-buffers the T-step blocks)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+
+    for h_scr, xg_ref, whh_ref, bhh_ref, ys_ref in (
+            (hf_scr, xgf_ref, whhf_ref, bhhf_ref, ysf_ref),
+            (hb_scr, xgb_ref, whhb_ref, bhhb_ref, ysb_ref)):
+        h = h_scr[:]
+        whh = whh_ref[:]
+        bhh = bhh_ref[:]
+        for t in range(T):                        # static unroll
+            hg = jnp.dot(h, whh,
+                         preferred_element_type=jnp.float32) + bhh
+            h = _gru_step(xg_ref[t], hg, h, Hp)
+            ys_ref[t] = h
+        h_scr[:] = h
+
+
+def _bwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
+                hprevf_ref, hprevb_ref, dyf_ref, dyb_ref,
+                dxgf_ref, dxgb_ref, dwf_ref, dbf_ref, dwb_ref, dbb_ref,
+                dhf_scr, dhb_scr, dwf_scr, dbf_scr, dwb_scr, dbb_scr,
+                *, Hp: int, T: int, nT: int):
+    """Reverse-time BPTT, T steps per grid step.  ``hprev`` is the
+    time-shifted forward output (``[0, ys[:-1]]``, precomputed in XLA), so
+    no cross-block indexing is needed.  Gate values are recomputed from
+    (h_prev, xg) — remat instead of streaming per-step residuals."""
+    i = pl.program_id(0)               # block nT-1-i is being processed
+
+    @pl.when(i == 0)
+    def _():
+        dhf_scr[:] = jnp.zeros_like(dhf_scr)
+        dhb_scr[:] = jnp.zeros_like(dhb_scr)
+        dwf_scr[:] = jnp.zeros_like(dwf_scr)
+        dbf_scr[:] = jnp.zeros_like(dbf_scr)
+        dwb_scr[:] = jnp.zeros_like(dwb_scr)
+        dbb_scr[:] = jnp.zeros_like(dbb_scr)
+
+    for (xg_ref, whh_ref, bhh_ref, hprev_ref, dy_ref, dxg_ref,
+         dh_scr, dw_scr, db_scr) in (
+            (xgf_ref, whhf_ref, bhhf_ref, hprevf_ref, dyf_ref, dxgf_ref,
+             dhf_scr, dwf_scr, dbf_scr),
+            (xgb_ref, whhb_ref, bhhb_ref, hprevb_ref, dyb_ref, dxgb_ref,
+             dhb_scr, dwb_scr, dbb_scr)):
+        whh = whh_ref[:]
+        bhh = bhh_ref[:]
+        dh = dh_scr[:]
+        dw = dw_scr[:]
+        db = db_scr[:]
+        for t in range(T - 1, -1, -1):            # static reverse unroll
+            h_prev = hprev_ref[t]
+            dh = dh + dy_ref[t]
+
+            xg = xg_ref[t]
+            hg = jnp.dot(h_prev, whh,
+                         preferred_element_type=jnp.float32) + bhh
+            xr, xz, xn = xg[:, :Hp], xg[:, Hp:2 * Hp], xg[:, 2 * Hp:]
+            hr, hz, hn = hg[:, :Hp], hg[:, Hp:2 * Hp], hg[:, 2 * Hp:]
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+
+            # h_s = (1-z)*n + z*h_prev
+            dz = dh * (h_prev - n) * z * (1.0 - z)    # through sigmoid
+            dn = dh * (1.0 - z) * (1.0 - n * n)       # through tanh
+            dr = dn * hn * r * (1.0 - r)              # through sigmoid
+            dhgn = dn * r
+            dhg = jnp.concatenate([dr, dz, dhgn], axis=1)   # (Bp, 3Hp)
+            dxg_ref[t] = jnp.concatenate([dr, dz, dn], axis=1)  # dxn == dn
+
+            dh = dh * z + jax.lax.dot_general(
+                dhg, whh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw = dw + jax.lax.dot_general(
+                h_prev, dhg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db = db + jnp.sum(dhg, axis=0, keepdims=True)
+        dh_scr[:] = dh
+        dw_scr[:] = dw
+        db_scr[:] = db
+
+    @pl.when(i == nT - 1)
+    def _():
+        dwf_ref[:] = dwf_scr[:]
+        dbf_ref[:] = dbf_scr[:]
+        dwb_ref[:] = dwb_scr[:]
+        dbb_ref[:] = dbb_scr[:]
+
+
+def _pick_T(L, Bp, Hp):
+    """Time steps per grid block: amortize per-grid-step overhead while
+    keeping the double-buffered blocks within a ~1 MB per-direction budget
+    (the backward streams ~2.7x the forward per step)."""
+    budget = 1 << 20
+    return max(1, min(8, L, budget // (Bp * 3 * Hp * 4)))
+
+
+def _blk_spec(T, Bp, G):
+    return pl.BlockSpec((T, Bp, G), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rev_blk_spec(T, Bp, G, nT):
+    return pl.BlockSpec((T, Bp, G), lambda i: (nT - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(*shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _pad_time(a, Lp):
+    return jnp.pad(a, ((0, Lp - a.shape[0]), (0, 0), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bigru_core(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
+    return _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b)[0]
+
+
+def _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
+    L, Bp, G3 = xg_f.shape
+    Hp = G3 // 3
+    T = _pick_T(L, Bp, Hp)
+    nT = -(-L // T)
+    Lp = nT * T
+    if Lp != L:   # zero xg pads come AFTER valid steps; outputs sliced off
+        xg_f, xg_b = _pad_time(xg_f, Lp), _pad_time(xg_b, Lp)
+    kernel = functools.partial(_fwd_kernel, Hp=Hp, T=T)
+    ys_f, ys_b = pl.pallas_call(
+        kernel,
+        grid=(nT,),
+        in_specs=[
+            _blk_spec(T, Bp, 3 * Hp), _blk_spec(T, Bp, 3 * Hp),
+            _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
+            _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
+        ],
+        out_specs=[_blk_spec(T, Bp, Hp), _blk_spec(T, Bp, Hp)],
+        out_shape=[jax.ShapeDtypeStruct((Lp, Bp, Hp), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((Bp, Hp), jnp.float32)] * 2,
+        interpret=interpret,
+    )(xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b)
+    ys_f, ys_b = ys_f[:L], ys_b[:L]
+    res = (xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, ys_f, ys_b)
+    return (ys_f, ys_b), res
+
+
+def _bigru_bwd(interpret, res, grads):
+    xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, ys_f, ys_b = res
+    dy_f, dy_b = grads
+    Lp, Bp, G3 = xg_f.shape            # xg is already time-padded
+    Hp = G3 // 3
+    L = ys_f.shape[0]
+    T = _pick_T(L, Bp, Hp)
+    nT = Lp // T
+
+    # h_{s-1} as a plain shifted array: pad steps (s >= L) see zero
+    # dy/xg/hprev, so the whole pad tail back-propagates exact zeros
+    shift = lambda ys: _pad_time(
+        jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0), Lp)
+    hprev_f, hprev_b = shift(ys_f), shift(ys_b)
+    dy_f, dy_b = _pad_time(dy_f, Lp), _pad_time(dy_b, Lp)
+
+    kernel = functools.partial(_bwd_kernel, Hp=Hp, T=T, nT=nT)
+    dxg_f, dxg_b, dw_f, db_f, dw_b, db_b = pl.pallas_call(
+        kernel,
+        grid=(nT,),
+        in_specs=[
+            _rev_blk_spec(T, Bp, 3 * Hp, nT), _rev_blk_spec(T, Bp, 3 * Hp, nT),
+            _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
+            _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
+            _rev_blk_spec(T, Bp, Hp, nT), _rev_blk_spec(T, Bp, Hp, nT),
+            _rev_blk_spec(T, Bp, Hp, nT), _rev_blk_spec(T, Bp, Hp, nT),
+        ],
+        out_specs=[
+            _rev_blk_spec(T, Bp, 3 * Hp, nT), _rev_blk_spec(T, Bp, 3 * Hp, nT),
+            _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
+            _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Lp, Bp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * Hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Bp, Hp), jnp.float32),
+            pltpu.VMEM((Bp, Hp), jnp.float32),
+            pltpu.VMEM((Hp, 3 * Hp), jnp.float32),
+            pltpu.VMEM((1, 3 * Hp), jnp.float32),
+            pltpu.VMEM((Hp, 3 * Hp), jnp.float32),
+            pltpu.VMEM((1, 3 * Hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, hprev_f, hprev_b, dy_f, dy_b)
+    return dxg_f[:L], dxg_b[:L], dw_f, db_f, dw_b, db_b
+
+
+_bigru_core.defvjp(_bigru_fwd, _bigru_bwd)
+
+
+def _pack_gates(a, H, Hp, axis):
+    """Split the 3H gate axis into r/z/n and pad each to Hp lanes."""
+    parts = jnp.split(a, 3, axis=axis)
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, Hp - H)
+    return jnp.concatenate([jnp.pad(p, pad) for p in parts], axis=axis)
+
+
+def fused_bigru_layer(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+                      whh_f: jnp.ndarray, bhh_f: jnp.ndarray,
+                      whh_b: jnp.ndarray, bhh_b: jnp.ndarray,
+                      *, interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One bidirectional GRU layer's hidden recurrence, fused.
+
+    Drop-in for the two ``_gru_scan`` calls of a BiRNN layer (or one
+    ``_gru_scan_bidi``): ``xg_b`` must already be time-flipped
+    (valid-frames-first) and the returned backward stream is still flipped.
+
+    Args:
+      xg_f / xg_b: (B, L, 3H) precomputed ``x @ W_ih + b_ih`` per direction.
+      whh_f / whh_b: (H, 3H) hidden weights; bhh_f / bhh_b: (3H,).
+    Returns:
+      (ys_f, ys_b): (B, L, H) per-direction outputs, float32.
+    """
+    B, L, G3 = xg_f.shape
+    H = G3 // 3
+    Hp = _round_up(H, 128)
+    Bp = _round_up(B, 8)
+
+    def prep_xg(xg):
+        xg = _pack_gates(xg.astype(jnp.float32), H, Hp, axis=2)
+        xg = jnp.pad(xg, ((0, Bp - B), (0, 0), (0, 0)))
+        return jnp.swapaxes(xg, 0, 1)                 # (L, Bp, 3Hp)
+
+    def prep_w(w):
+        w = _pack_gates(w.astype(jnp.float32), H, Hp, axis=1)
+        return jnp.pad(w, ((0, Hp - H), (0, 0)))      # (Hp, 3Hp)
+
+    prep_b = lambda b: _pack_gates(
+        b.astype(jnp.float32).reshape(1, -1), H, Hp, axis=1)
+
+    ys_f, ys_b = _bigru_core(
+        bool(interpret), prep_xg(xg_f), prep_xg(xg_b),
+        prep_w(whh_f), prep_b(bhh_f), prep_w(whh_b), prep_b(bhh_b))
+    unpack = lambda ys: jnp.swapaxes(ys, 0, 1)[:B, :, :H]
+    return unpack(ys_f), unpack(ys_b)

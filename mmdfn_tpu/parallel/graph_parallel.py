@@ -66,6 +66,41 @@ def sharded_spmm(mesh: Mesh, adj: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         out_specs=P(MODEL_AXIS, None))(adj, h)
 
 
+def sharded_spmm_batched(mesh: Mesh, adj: jnp.ndarray,
+                         h: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``adj @ h`` with the NODE axis sharded over ``model``.
+
+    The model-capability entry point for node-sharded tensor parallelism:
+    :class:`mmdfn_tpu.nn.gcn.GCNIIStack` calls this per layer when its
+    ``spmm`` hook is set (config ``n_model_devices > 1``), so the real
+    MMGCN/MM-DFN forward — not a standalone primitive — runs node-sharded.
+
+    adj: (B, N, N); h: (B, N, H).  The node axis is zero-padded up to a
+    multiple of the model-axis size (zero adjacency rows/cols are inert, so
+    padding is exact), the partial products reduce with one
+    ``psum_scatter``, and the result is sliced back to N.
+    """
+    k = mesh.shape[MODEL_AXIS]
+    if k == 1:
+        return jnp.einsum("bnm,bmh->bnh", adj, h)
+    B, N, H = h.shape
+    Np = -(-N // k) * k
+    if Np != N:
+        adj = jnp.pad(adj, ((0, 0), (0, Np - N), (0, Np - N)))
+        h = jnp.pad(h, ((0, 0), (0, Np - N), (0, 0)))
+
+    def kernel(adj_cols, h_local):
+        partial = jnp.einsum("bnm,bmh->bnh", adj_cols, h_local)
+        return jax.lax.psum_scatter(partial, MODEL_AXIS,
+                                    scatter_dimension=1, tiled=True)
+
+    out = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, None, MODEL_AXIS), P(None, MODEL_AXIS, None)),
+        out_specs=P(None, MODEL_AXIS, None))(adj, h)
+    return out[:, :N] if Np != N else out
+
+
 def sharded_gcnii_stack(mesh: Mesh, adj: jnp.ndarray, h: jnp.ndarray,
                         h0: jnp.ndarray, W: jnp.ndarray, theta: jnp.ndarray,
                         alpha: float, variant: bool = True) -> jnp.ndarray:

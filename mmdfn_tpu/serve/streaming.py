@@ -145,6 +145,7 @@ def measure_latency(trainer: Trainer, state: TrainState, dialogues,
             spk = int(np.argmax(d.qmask[t]))
             session.append(d.text[t], d.audio[t], d.visual[t], spk)
     lat: List[float] = []
+    used_buckets: List[int] = []
     for d in dialogues:
         session.reset()
         for t in range(len(d)):
@@ -152,9 +153,37 @@ def measure_latency(trainer: Trainer, state: TrainState, dialogues,
             spk = int(np.argmax(d.qmask[t]))
             session.append(d.text[t], d.audio[t], d.visual[t], spk)
             lat.append(time.perf_counter() - t0)
+            used_buckets.append(bucket_length(t + 1, session.buckets))
     lat_ms = np.asarray(lat) * 1e3
+
+    # Split link vs compute: the wall numbers above include one host->device
+    # transfer + one device->host logp pull per append (tunnel RTT).  Here
+    # the same per-bucket jitted program is timed with chained on-device
+    # buffers, blocking only once per K appends — the amortized per-append
+    # DEVICE time.  link_p50 ~= p50 - device_p50.
+    device_ms_by_bucket: Dict[int, float] = {}
+    D_t, D_a, D_v = session._dims
+    zt, za, zv = (jnp.zeros(D, jnp.float32) for D in (D_t, D_a, D_v))
+    K = 20
+    for b in sorted(set(used_buckets)):
+        bufs = session._zero_bufs()
+        bufs, lp = session._append_predict(session.params, bufs, zt, za, zv,
+                                           0, 0, L=b)
+        jax.block_until_ready(lp)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            bufs, lp = session._append_predict(session.params, bufs,
+                                               zt, za, zv, 0, 0, L=b)
+        jax.block_until_ready(lp)
+        device_ms_by_bucket[b] = (time.perf_counter() - t0) / K * 1e3
+    dev_ms = np.asarray([device_ms_by_bucket[b] for b in used_buckets])
+
+    p = lambda a, q: round(float(np.percentile(a, q)), 3)
     return dict(n=len(lat),
-                p50_ms=round(float(np.percentile(lat_ms, 50)), 3),
-                p90_ms=round(float(np.percentile(lat_ms, 90)), 3),
-                p99_ms=round(float(np.percentile(lat_ms, 99)), 3),
-                mean_ms=round(float(lat_ms.mean()), 3))
+                p50_ms=p(lat_ms, 50), p90_ms=p(lat_ms, 90),
+                p99_ms=p(lat_ms, 99),
+                mean_ms=round(float(lat_ms.mean()), 3),
+                device_p50_ms=p(dev_ms, 50), device_p99_ms=p(dev_ms, 99),
+                link_p50_ms=round(p(lat_ms, 50) - p(dev_ms, 50), 3),
+                device_ms_by_bucket={str(k): round(v, 3) for k, v
+                                     in device_ms_by_bucket.items()})

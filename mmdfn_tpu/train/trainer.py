@@ -46,7 +46,8 @@ from mmdfn_tpu.data.batching import Batch, BucketBatcher
 from mmdfn_tpu.losses import focal_loss, masked_nll_loss
 from mmdfn_tpu.models.dialogue_gnn import DialogueGNN
 from mmdfn_tpu.runtime import checkpoint as ckpt_lib
-from mmdfn_tpu.runtime.mesh import DATA_AXIS, batch_sharding, replicate
+from mmdfn_tpu.runtime.mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
+                                    replicate)
 from mmdfn_tpu.train import metrics as M
 from mmdfn_tpu.train.optim import torch_adam
 
@@ -123,7 +124,7 @@ class Trainer:
                     f"batch_size={cfg.batch_size} must be divisible by the "
                     f"mesh data axis ({n_data} devices) — every collated "
                     "batch is padded to exactly batch_size dialogues")
-        self.model = self._build_model(cfg)
+        self.model = self._build_model(cfg, mesh)
         self.tx = torch_adam(cfg.lr, weight_decay=cfg.l2)
         alpha = cfg.class_weights_or_none()
         self.alpha = None if alpha is None else jnp.asarray(alpha)
@@ -141,10 +142,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _build_model(cfg: ExperimentConfig):
+    def _build_model(cfg: ExperimentConfig, mesh=None):
         """Model assembly mirroring ``run_train_erc.py:416-487``."""
         if cfg.graph_model:
-            return DialogueGNN.from_config(cfg)
+            gcn_spmm = None
+            if mesh is not None and dict(mesh.shape).get(MODEL_AXIS, 1) > 1:
+                # tensor parallelism: the GCNII stack's per-layer adj@h
+                # runs node-sharded over the mesh model axis (one
+                # psum_scatter per layer; parallel/graph_parallel.py)
+                from mmdfn_tpu.parallel.graph_parallel import (
+                    sharded_spmm_batched)
+                gcn_spmm = partial(sharded_spmm_batched, mesh)
+            return DialogueGNN.from_config(cfg, gcn_spmm=gcn_spmm)
         from mmdfn_tpu.config import D_A, D_E, D_G, D_H, D_P
         from mmdfn_tpu.models.baselines import (DialogRNNModel, GRUModel,
                                                 LSTMModel)
