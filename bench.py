@@ -31,13 +31,16 @@ NLAYERS = 16
 
 # production flagship config — shared by bench.py, benchmarks/ab_config.py
 # and benchmarks/profile_step.py so measurements always describe the same
-# executable.  bf16 GCNII scan (+12%) and remat'd RNN scan backward (+9%)
-# are the measured-win knobs; full unroll is the TPU auto default.
+# executable.  bf16 GCNII scan (+12%), remat'd RNN scan backward (+9%) and
+# the fused Pallas bi-GRU kernel (won all 5 interleaved window pairs,
+# blocked median -6.5%, round 3) are the measured-win knobs; full unroll
+# is the TPU auto default.  rnn_scan_remat stays on for the non-pallas
+# scans (DialogueRNN paths); the pallas kernel's backward always remats.
 PRODUCTION_CONFIG = dict(
     dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
     class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
     speaker_weights="3-0-1", gcn_compute_dtype="bfloat16",
-    rnn_scan_remat=True)
+    rnn_scan_remat=True, rnn_backend="pallas")
 
 
 def make_batch(rng, B, L):

@@ -38,6 +38,12 @@ def xla_scan(adj, h, h0, W, theta, lstm_ih, lstm_hh, lstm_b):
     return h
 
 
+R = 8   # in-jit chained stack applications per executable: round 3 found a
+        # ~1.5 ms per-executable launch floor over the tunnel that made
+        # every single-call variant read the same (the round-2 'parity'
+        # verdict here was launch-floor-bound); timeit divides by R.
+
+
 def timeit(fn, h_arg, *args, steps=20):
     """Chain the hidden state through successive calls: the data dependency
     forces sequential device execution.  Pipelining independent calls and
@@ -54,7 +60,7 @@ def timeit(fn, h_arg, *args, steps=20):
             x = fn(x, *args)
         jax.block_until_ready(x)
         best = min(best, (time.perf_counter() - t0) / steps)
-    return best
+    return best / R
 
 
 def main():
@@ -68,11 +74,18 @@ def main():
     lstm_hh = jnp.array(rng.standard_normal((H, 4 * H)).astype(np.float32)) * 0.1
     lstm_b = jnp.array(rng.standard_normal((4 * H,)).astype(np.float32)) * 0.1
 
-    xla_jit = jax.jit(lambda x: xla_scan(adj, x, h0, W, theta,
-                                         lstm_ih, lstm_hh, lstm_b))
+    def repeat(stack_fn):
+        def f(x):
+            for _ in range(R):
+                x = stack_fn(x) * 0.1       # keep magnitudes bounded
+            return x
+        return jax.jit(f)
+
+    xla_jit = repeat(lambda x: xla_scan(adj, x, h0, W, theta,
+                                        lstm_ih, lstm_hh, lstm_b))
     t_xla = timeit(xla_jit, h)
 
-    fused = jax.jit(lambda x: gcnii_stack_fused(
+    fused = repeat(lambda x: gcnii_stack_fused(
         adj, x, h0, W, theta, lstm_ih, lstm_hh, lstm_b,
         alpha=ALPHA, variant=True, reason=True))
     t_pal = timeit(fused, h)

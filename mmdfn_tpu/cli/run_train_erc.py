@@ -140,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--rnn_backend", type=str, default=None, choices=["xla", "pallas"],
         help="'pallas': fused bi-GRU recurrence kernel (fwd + custom bwd) "
              "replacing the per-direction lax.scan chains")
+    add("--rng_impl", type=str, default=None,
+        choices=["threefry", "rbg", "unsafe_rbg"],
+        help="'rbg': dropout bits from the TPU hardware RNG instead of "
+             "threefry (faster; different-but-deterministic draws)")
     add("--gcn_scan_remat", action="store_true", default=False,
         help="checkpoint each GCNII layer (backward recomputes adj@h + "
              "gates instead of reading per-layer residuals from HBM)")
@@ -176,6 +180,8 @@ def config_from_args(args) -> "ExperimentConfig":
         kw["rnn_compute_dtype"] = None
     if kw.get("rnn_backend") == "xla":
         kw["rnn_backend"] = None
+    if kw.get("rng_impl") == "threefry":
+        kw["rng_impl"] = None
     return ExperimentConfig(**kw)
 
 

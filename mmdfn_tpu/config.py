@@ -154,6 +154,16 @@ class ExperimentConfig:
                                              # upstream, model.py:445;
                                              # attn2/attn3 dead there,
                                              # implemented behind this flag)
+    rng_impl: Optional[str] = None           # 'rbg': generate dropout bits
+                                             # with the TPU hardware RNG
+                                             # instead of threefry (dropout=0
+                                             # A/B attributes ~2.3 ms/step —
+                                             # 18% — to dropout machinery,
+                                             # mostly threefry bit gen).
+                                             # Different (still deterministic
+                                             # per seed) dropout draws; off
+                                             # by default for bit-stable
+                                             # parity with earlier rounds.
     rnn_backend: Optional[str] = None        # 'pallas': fused bi-GRU
                                              # recurrence kernel (fwd +
                                              # custom bwd, ops/pallas_rnn.py)

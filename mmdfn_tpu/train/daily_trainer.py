@@ -34,7 +34,9 @@ class DailyTrainer(Trainer):
     """Trainer over ``TokenDialogue``/``TokenBatch`` (DailyDialogue ERC)."""
 
     @staticmethod
-    def _build_model(cfg: ExperimentConfig):
+    def _build_model(cfg: ExperimentConfig, mesh=None):
+        # mesh accepted for base-class signature parity; the Daily model has
+        # no node-sharded (TP) path — DP sharding is handled by the Trainer
         from mmdfn_tpu.models.daily import DialogueGCNDailyModel
         info = cfg.info
         return DialogueGCNDailyModel(
