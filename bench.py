@@ -21,8 +21,8 @@ import numpy as np
 # torch 2.x eager, batch 32, lengths U[20,80], 16 GCNII layers).  The date
 # stamp travels in the JSON so round-over-round ratios stay attributable;
 # re-measure with `python benchmarks/torch_cpu_baseline.py` when in doubt.
-TORCH_CPU_BASELINE_DPS = 0.712
-TORCH_CPU_BASELINE_DATE = "2026-08-10"
+TORCH_CPU_BASELINE_DPS = 0.714     # re-measured round 3 (0.712 round 2)
+TORCH_CPU_BASELINE_DATE = "2026-08-17"
 
 BATCH = 32
 BUCKET = 80
@@ -40,7 +40,7 @@ PRODUCTION_CONFIG = dict(
     dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
     class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
     speaker_weights="3-0-1", gcn_compute_dtype="bfloat16",
-    rnn_scan_remat=True, rnn_backend="pallas")
+    rnn_scan_remat=True, rnn_backend="pallas", rng_impl="rbg")
 
 
 def make_batch(rng, B, L):
