@@ -31,16 +31,21 @@ NLAYERS = 16
 
 # production flagship config — shared by bench.py, benchmarks/ab_config.py
 # and benchmarks/profile_step.py so measurements always describe the same
-# executable.  bf16 GCNII scan (+12%), remat'd RNN scan backward (+9%) and
+# executable.  bf16 GCNII scan (+12%), remat'd RNN scan backward (+9%),
 # the fused Pallas bi-GRU kernel (won all 5 interleaved window pairs,
-# blocked median -6.5%, round 3) are the measured-win knobs; full unroll
-# is the TPU auto default.  rnn_scan_remat stays on for the non-pallas
-# scans (DialogueRNN paths); the pallas kernel's backward always remats.
+# blocked median -6.5%, round 3) and the fused Pallas GCNII train stack
+# (device busy 6.47 -> 4.90 ms/step, best A/B window +15% dps, round 3)
+# are the measured-win knobs; full unroll is the TPU auto default.
+# rnn_scan_remat stays on for the non-pallas scans (DialogueRNN paths);
+# both pallas kernels' backwards always remat.  gcn_compute_dtype is kept
+# for the CPU-fallback scan path (the pallas stack is bf16-matmul/f32-
+# elementwise internally).
 PRODUCTION_CONFIG = dict(
     dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
     class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
     speaker_weights="3-0-1", gcn_compute_dtype="bfloat16",
-    rnn_scan_remat=True, rnn_backend="pallas", rng_impl="rbg")
+    rnn_scan_remat=True, rnn_backend="pallas", gcn_backend="pallas",
+    rng_impl="rbg")
 
 
 def make_batch(rng, B, L):
@@ -160,7 +165,8 @@ def main():
     # baseline (the config string says so); baseline date-stamped above
     print(json.dumps({
         "metric": "MM-DFN flagship train dialogues/sec "
-                  f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers bf16-scan, "
+                  f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers "
+                  "fused-pallas bf16, "
                   f"{jax.devices()[0].platform})",
         "value": round(dps, 2),
         "unit": "dialogues/sec",

@@ -1,0 +1,139 @@
+"""TPU benchmark + hardware validation: fused GCNII TRAIN stack vs the
+bf16 XLA scan (fwd+bwd through dropout, flagship shapes).
+
+Also validates the in-kernel hardware-PRNG dropout ON HARDWARE (the CPU
+interpreter stubs the PRNG with zeros, so these checks cannot run in the
+CPU suite): determinism per seed, seed sensitivity, and drop-rate
+statistics.
+
+In-jit repetition (R chained applications per executable) per the measured
+~1.5 ms per-executable launch floor over the tunnel.
+
+Run on TPU:  PYTHONPATH=. python benchmarks/bench_gcnii_train_pallas.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.ops.pallas_gcnii_train import gcnii_stack_train
+
+B, N, H, NL = 32, 240, 100, 16
+ALPHA, RATE = 0.2, 0.4
+R = 6
+
+
+def xla_scan_train(adj, he, h0, W, theta, lih, lhh, lb, key, rate):
+    """The production scan path's math (bf16 carries, bernoulli dropout)."""
+    bf = jnp.bfloat16
+    adjb, h0b = adj.astype(bf), h0.astype(bf)
+    keys = jax.random.split(key, NL)
+
+    def body(carry, xs):
+        h, lh, lc = carry
+        W_i, theta_i, k_i = xs
+        q = h
+        g = h @ lih.astype(bf) + lh @ lhh.astype(bf) + lb.astype(bf)
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        gg = jnp.tanh(gg)
+        lc = f * lc + i * gg
+        lh = o * jnp.tanh(lc)
+        hi = jnp.einsum("bnm,bmh->bnh", adjb, lh)
+        support = (jnp.einsum("bnh,hk->bnk", hi, W_i[:H])
+                   + jnp.einsum("bnh,hk->bnk", h0b, W_i[H:]))
+        r = (1 - ALPHA) * hi + ALPHA * h0b
+        h = jnp.maximum(theta_i * support + (1 - theta_i) * r, 0.0)
+        if rate > 0:
+            keep = jax.random.bernoulli(k_i, 1 - rate, h.shape)
+            h = jnp.where(keep, h / (1 - rate), 0.0)
+        h = h + q
+        return (h, lh, lc), None
+
+    z = jnp.zeros_like(he, bf)
+    (h, _, _), _ = jax.lax.scan(
+        body, (he.astype(bf), z, z),
+        (W.astype(bf), theta.astype(bf), keys))
+    return h.astype(jnp.float32)
+
+
+def timeit(fn, x, steps=10):
+    out = fn(x)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        z = x
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            z = fn(z)
+        jax.block_until_ready(z)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best / R
+
+
+def main():
+    rng = np.random.default_rng(0)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    adj = f32(B, N, N) / N
+    adj = (adj + jnp.swapaxes(adj, 1, 2)) / 2
+    he = jnp.abs(f32(B, N, H))
+    h0 = jnp.abs(f32(B, N, H))
+    W = f32(NL, 2 * H, H) * 0.1
+    theta = jnp.log(0.5 / jnp.arange(1, NL + 1) + 1.0)
+    lih, lhh, lb = f32(H, 4 * H) * 0.1, f32(H, 4 * H) * 0.1, f32(4 * H) * 0.1
+    key = jax.random.PRNGKey(0)
+
+    # ---- hardware dropout validation --------------------------------
+    run = lambda seed, rate: gcnii_stack_train(
+        adj[:2], he[:2], h0[:2], W[:2], theta[:2], lih, lhh, lb,
+        alpha=ALPHA, reason=False, rate=rate, seed=seed)
+    a1, a2, b1 = run(7, 0.5), run(7, 0.5), run(8, 0.5)
+    det = bool((jnp.asarray(a1) == jnp.asarray(a2)).all())
+    sens = bool((jnp.abs(a1 - b1).max() > 1e-6))
+    one = gcnii_stack_train(adj[:2], he[:2], h0[:2], W[:1], theta[:1],
+                            lih, lhh, lb, alpha=ALPHA, reason=False,
+                            rate=0.5, seed=3)
+    refd = gcnii_stack_train(adj[:2], he[:2], h0[:2], W[:1], theta[:1],
+                             lih, lhh, lb, alpha=ALPHA, reason=False,
+                             rate=0.0, seed=3)
+    pos = np.asarray(refd) > 1e-6
+    frac = float(((np.asarray(one) == 0.0) & pos).sum() / max(pos.sum(), 1))
+
+    # ---- fwd+bwd timing, chained, R in-jit reps ---------------------
+    def chain(stack_fn):
+        def loss(x):
+            return jnp.sum(stack_fn(x))
+
+        def step(x):
+            for _ in range(R):
+                x = x - 1e-4 * jax.grad(loss)(x)
+            return x
+        return jax.jit(step)
+
+    t_scan = timeit(chain(lambda x: xla_scan_train(
+        adj, x, h0, W, theta, lih, lhh, lb, key, RATE)), he)
+    t_pal = timeit(chain(lambda x: gcnii_stack_train(
+        adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
+        rate=RATE, seed=5)), he)
+    # dropout-free numeric cross-check on device
+    o_s = xla_scan_train(adj, he, h0, W, theta, lih, lhh, lb, key, 0.0)
+    o_p = gcnii_stack_train(adj, he, h0, W, theta, lih, lhh, lb,
+                            alpha=ALPHA, reason=True, rate=0.0, seed=5)
+    err = float(jnp.abs(o_s - o_p).max())
+
+    print(json.dumps({
+        "platform": jax.devices()[0].platform,
+        "dropout_deterministic": det, "dropout_seed_sensitive": sens,
+        "drop_fraction_at_0.5": round(frac, 4),
+        "fwdbwd_scan_ms": round(t_scan * 1e3, 3),
+        "fwdbwd_pallas_ms": round(t_pal * 1e3, 3),
+        "speedup": round(t_scan / t_pal, 2),
+        "max_abs_err_rate0": err}))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,9 +5,14 @@ Traces N steps with ``jax.profiler``, parses the resulting xplane proto via
 device-side self time — the reproducible version of the step-time
 attribution quoted in DESIGN.md.
 
-Usage: python benchmarks/profile_step.py [trace_dir]
+Usage: python benchmarks/profile_step.py [trace_dir] [key=value ...]
+
+Extra ``key=value`` args override PRODUCTION_CONFIG fields (same literal
+parsing as ab_config.py) so a candidate knob's device-busy time can be
+compared against the baseline with the profiler's noise-free numbers.
 """
 
+import ast
 import glob
 import json
 import sys
@@ -18,6 +23,14 @@ import numpy as np
 sys.path.insert(0, ".")
 from bench import BATCH, BUCKET, PRODUCTION_CONFIG, make_batch  # noqa: E402
 
+OVERRIDES = {}
+for _kv in [a for a in sys.argv[2:] if "=" in a]:
+    _k, _v = _kv.split("=", 1)
+    try:
+        OVERRIDES[_k] = ast.literal_eval(_v)
+    except (ValueError, SyntaxError):
+        OVERRIDES[_k] = _v
+
 
 def capture(trace_dir):
     import jax
@@ -27,7 +40,9 @@ def capture(trace_dir):
     from mmdfn_tpu.train import Trainer
 
     enable_compilation_cache()
-    trainer = Trainer(ExperimentConfig(**PRODUCTION_CONFIG))
+    if OVERRIDES:
+        print(f"config overrides: {OVERRIDES}")
+    trainer = Trainer(ExperimentConfig(**{**PRODUCTION_CONFIG, **OVERRIDES}))
     state = trainer.init_state()
 
     rng = np.random.default_rng(0)

@@ -140,6 +140,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--rnn_backend", type=str, default=None, choices=["xla", "pallas"],
         help="'pallas': fused bi-GRU recurrence kernel (fwd + custom bwd) "
              "replacing the per-direction lax.scan chains")
+    add("--gcn_backend", type=str, default=None, choices=["xla", "pallas"],
+        help="'pallas': fully fused GCNII train stack (fwd + custom bwd + "
+             "in-kernel hardware-PRNG dropout)")
     add("--rng_impl", type=str, default=None,
         choices=["threefry", "rbg", "unsafe_rbg"],
         help="'rbg': dropout bits from the TPU hardware RNG instead of "
@@ -180,6 +183,8 @@ def config_from_args(args) -> "ExperimentConfig":
         kw["rnn_compute_dtype"] = None
     if kw.get("rnn_backend") == "xla":
         kw["rnn_backend"] = None
+    if kw.get("gcn_backend") == "xla":
+        kw["gcn_backend"] = None
     if kw.get("rng_impl") == "threefry":
         kw["rng_impl"] = None
     return ExperimentConfig(**kw)

@@ -164,6 +164,10 @@ class ExperimentConfig:
                                              # per seed) dropout draws; off
                                              # by default for bit-stable
                                              # parity with earlier rounds.
+    gcn_backend: Optional[str] = None        # 'pallas': fully fused GCNII
+                                             # train stack (fwd + custom bwd
+                                             # + in-kernel PRNG dropout,
+                                             # ops/pallas_gcnii_train.py)
     rnn_backend: Optional[str] = None        # 'pallas': fused bi-GRU
                                              # recurrence kernel (fwd +
                                              # custom bwd, ops/pallas_rnn.py)

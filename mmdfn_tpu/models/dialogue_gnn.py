@@ -89,6 +89,8 @@ class DialogueGNN(nn.Module):
                                              # attn1 (reference hard-coded) /
                                              # attn2 / attn3 (dead upstream,
                                              # see nn/attention.py)
+    gcn_backend: Optional[str] = None        # 'pallas' fused GCNII train
+                                             # stack (nn/gcn.py)
     gcn_spmm: Optional[Callable] = None      # node-sharded adj@h override
                                              # (tensor parallelism over the
                                              # mesh model axis; set by the
@@ -141,6 +143,7 @@ class DialogueGNN(nn.Module):
             rnn_scan_remat=cfg.rnn_scan_remat,
             rnn_backend=cfg.rnn_backend,
             edge_attn_type=cfg.edge_attn_type,
+            gcn_backend=cfg.gcn_backend,
             gcn_spmm=gcn_spmm,
         )
 
@@ -305,7 +308,7 @@ class DialogueGNN(nn.Module):
                 compute_dtype=self.gcn_compute_dtype,
                 scan_unroll=self.gcn_scan_unroll,
                 scan_remat=self.gcn_scan_remat, spmm=self.gcn_spmm,
-                name="graph_model")
+                backend=self.gcn_backend, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -390,7 +393,7 @@ class DialogueGNN(nn.Module):
                     compute_dtype=self.gcn_compute_dtype,
                     scan_unroll=self.gcn_scan_unroll,
                     scan_remat=self.gcn_scan_remat, spmm=self.gcn_spmm,
-                    name=name)
+                    backend=self.gcn_backend, name=name)
 
             if not self.multi_modal:
                 return make_net("graph_net")(

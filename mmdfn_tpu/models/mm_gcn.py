@@ -64,6 +64,7 @@ class MMGCN(nn.Module):
     scan_remat: bool = False              # layer remat (see GCNIIStack)
     spmm: Optional[Callable] = None       # node-sharded adj@h override
                                           # (tensor parallelism; GCNIIStack)
+    backend: Optional[str] = None         # 'pallas' fused train stack
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -101,7 +102,7 @@ class MMGCN(nn.Module):
             dropout_mode="after", post_loop_dropout=False,
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
-            spmm=self.spmm, name="graph_net")
+            spmm=self.spmm, backend=self.backend, name="graph_net")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)   # model_GCN.py:482-483
@@ -213,6 +214,7 @@ class DeepGCNII(nn.Module):
     scan_unroll: Optional[int] = None
     scan_remat: bool = False
     spmm: Optional[Callable] = None
+    backend: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qmask: jnp.ndarray, umask: jnp.ndarray,
@@ -235,7 +237,7 @@ class DeepGCNII(nn.Module):
             post_loop_dropout=not self.lyc,
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
-            spmm=self.spmm, name="stack")
+            spmm=self.spmm, backend=self.backend, name="stack")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)

@@ -115,6 +115,13 @@ class GCNIIStack(nn.Module):
                                           # (via Trainer n_model_devices>1)
                                           # to run the stack node-sharded
                                           # over the mesh's model axis
+    backend: Optional[str] = None         # 'pallas': fully fused train
+                                          # stack (fwd + custom bwd +
+                                          # in-kernel PRNG dropout,
+                                          # ops/pallas_gcnii_train.py);
+                                          # falls back to the scan for
+                                          # non-variant / other dropout
+                                          # wirings / nlayers>32 / TP
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -154,8 +161,44 @@ class GCNIIStack(nn.Module):
             lb_ih = self.param("reason_b_ih", init, (4 * H,))
             lb_hh = self.param("reason_b_hh", init, (4 * H,))
 
-        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         out_dtype = h.dtype
+        interp = jax.default_backend() not in ("tpu", "axon")
+        if (self.backend == "pallas" and self.variant
+                and self.dropout_mode == "after" and self.spmm is None
+                and not self.post_loop_dropout and self.nlayers <= 32
+                # off-TPU the Pallas interpreter's PRNG is a zero stub, so
+                # the in-kernel dropout would silently keep everything —
+                # fall back to the scan whenever dropout is live off-TPU
+                and not (use_dropout and interp)):
+            # fully fused train stack (fwd + custom bwd + in-kernel
+            # hardware-PRNG dropout, ops/pallas_gcnii_train.py).  nlayers
+            # gated by the backward's VMEM weight-grad accumulators.
+            # gcn_compute_dtype is ignored: the kernel is bf16-matmul /
+            # f32-accumulate internally.  Dropout draws come from the TPU
+            # PRNG (deterministic per step seed; same contract as the
+            # trainer's rng_impl knob).
+            from mmdfn_tpu.ops.pallas_gcnii_train import gcnii_stack_train
+            if use_dropout:
+                root_data = (jax.random.key_data(root_key)
+                             if jnp.issubdtype(root_key.dtype,
+                                               jax.dtypes.prng_key)
+                             else root_key)
+                seed = root_data.reshape(-1)[0].astype(jnp.int32)
+                rate = self.dropout
+            else:
+                seed = jnp.int32(0)
+                rate = 0.0
+            if self.reason_flag:
+                lstm = (lw_ih, lw_hh, lb_ih + lb_hh)
+            else:
+                lstm = (None, None, None)
+            h = gcnii_stack_train(
+                adj, h, h0, W, theta, *lstm, alpha=self.alpha,
+                reason=self.reason_flag, rate=float(rate), seed=seed,
+                interpret=interp)
+            return x, h.astype(out_dtype)
+
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         if cd is not None:
             # cast once at the scan boundary: carry, residual anchor h0,
             # adjacency, stacked weights and theta all live in bf16 so every

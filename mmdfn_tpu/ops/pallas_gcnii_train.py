@@ -1,0 +1,458 @@
+"""Pallas TPU kernel: the deep GCNII TRAIN stack (fwd + custom bwd).
+
+`ops/pallas_gcnii.py` fuses the deterministic forward and measured parity
+with the XLA scan (the forward's matmuls are roofline-bound).  The round-3
+op profile shows where the stack's real cost lives in TRAINING: ~3.2 of the
+6.5 ms device-busy step is `graph_net`, and ~1.4 ms of that is elementwise
+HBM traffic between the matmuls (mul/add/concat/select/reduce + dropout
+masks) plus the backward's per-layer residual reads — exactly what a fused
+fwd+bwd kernel eliminates.
+
+Design (both kernels grid = (B, nlayers), layer axis innermost; carries in
+VMEM scratch persist across sequential grid steps):
+
+* forward: per (b, l) recompute the layer with the adjacency resident in
+  VMEM; store ONLY the three per-layer carries (h, lh, lc — the LSTM states
+  and layer input) as bf16 residuals; dropout is generated in-kernel from
+  the TPU hardware PRNG (`pltpu.prng_seed(seed, b, l)`), so the mask is
+  never materialized in HBM — the backward re-seeds identically and
+  regenerates it.
+* backward: walks layers in reverse, recomputes the layer forward from the
+  residual carries (remat), and produces every gradient the XLA autodiff
+  would: d_entry, d_h0, d_adj (the adjacency is DATA-dependent — gradients
+  flow through the dynamic graph into the encoders), per-layer dW, and the
+  shared reason-LSTM weight grads, accumulated in VMEM scratch and written
+  once at the final grid step.
+
+Faithful semantics: GCNII_lyc wiring (reference ``model_GCN.py:444-483``)
+— variant=True, dropout AFTER each conv's ReLU, reason-LSTM + additive
+skip.  The in-kernel dropout draws differ from `jax.random.bernoulli`
+(hardware PRNG, threshold test) but are deterministic per (seed, b, l);
+same contract as the trainer's `rng_impl='rbg'` knob.
+
+Numerics: matmul inputs bf16 (same trade as `gcn_compute_dtype='bfloat16'`,
+the production scan config), f32 accumulation and elementwise math,
+residuals stored bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK64 = (1 << 32) - 1
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lstm_fwd(h, lh, lc, ih, hh, b, Hp):
+    g = (jnp.dot(h, ih, preferred_element_type=jnp.float32)
+         + jnp.dot(lh, hh, preferred_element_type=jnp.float32) + b)
+    i = jax.nn.sigmoid(g[:, :Hp])
+    f = jax.nn.sigmoid(g[:, Hp:2 * Hp])
+    gg = jnp.tanh(g[:, 2 * Hp:3 * Hp])
+    o = jax.nn.sigmoid(g[:, 3 * Hp:])
+    lc1 = f * lc + i * gg
+    lh1 = o * jnp.tanh(lc1)
+    return lh1, lc1, (i, f, gg, o)
+
+
+def _layer_fwd(h, lh, lc, adj, h0, w1, w2, lstm, *, theta, alpha, reason,
+               rate, thresh, seed_args, Hp):
+    """Recompute one GCNII layer; returns (h_next, lh1, lc1, aux)."""
+    if reason:
+        lh1, lc1, gates = _lstm_fwd(h, lh, lc, *lstm, Hp)
+        h1 = lh1
+    else:
+        lh1, lc1, gates = lh, lc, None
+        h1 = h
+    hi = jnp.dot(adj, h1.astype(adj.dtype),
+                 preferred_element_type=jnp.float32)
+    support = (jnp.dot(hi.astype(w1.dtype), w1,
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(h0, w2, preferred_element_type=jnp.float32))
+    r = (1.0 - alpha) * hi + alpha * h0.astype(jnp.float32)
+    pre = theta * support + (1.0 - theta) * r
+    h2 = jnp.maximum(pre, 0.0)
+    if rate > 0.0:
+        seed0, b, l = seed_args
+        pltpu.prng_seed(seed0 + b * 8192 + l)   # unique per (b, layer)
+        bits = pltpu.prng_random_bits(h2.shape)
+        keep = bits.astype(jnp.uint32) < jnp.uint32(thresh)
+        h3 = jnp.where(keep, h2 * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        keep = None
+        h3 = h2
+    h_next = h3 + h if reason else h3
+    return h_next, lh1, lc1, (h1, hi, pre, keep, gates)
+
+
+def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
+                lih_ref, lhh_ref, lb_ref, seed_ref,
+                hout_ref, hres_ref, lhres_ref, lcres_ref,
+                h_scr, lh_scr, lc_scr,
+                *, alpha, reason, rate, thresh, nl, Hp):
+    b = pl.program_id(0)
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        h_scr[:] = he_ref[0].astype(jnp.float32)
+        lh_scr[:] = jnp.zeros_like(lh_scr)
+        lc_scr[:] = jnp.zeros_like(lc_scr)
+
+    h, lh, lc = h_scr[:], lh_scr[:], lc_scr[:]
+    # residuals: the pre-layer carries, bf16
+    hres_ref[0, 0] = h.astype(jnp.bfloat16)
+    lhres_ref[0, 0] = lh.astype(jnp.bfloat16)
+    lcres_ref[0, 0] = lc.astype(jnp.bfloat16)
+
+    h_next, lh1, lc1, _ = _layer_fwd(
+        h, lh, lc, adj_ref[0], h0_ref[0], w1_ref[0], w2_ref[0],
+        (lih_ref[:], lhh_ref[:], lb_ref[:]),
+        theta=theta_ref[l, 0], alpha=alpha, reason=reason, rate=rate,
+        thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp)
+
+    h_scr[:] = h_next
+    lh_scr[:] = lh1
+    lc_scr[:] = lc1
+
+    @pl.when(l == nl - 1)
+    def _():
+        hout_ref[0] = h_next
+
+
+def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
+                lih_ref, lhh_ref, lb_ref, seed_ref,
+                hres_ref, lhres_ref, lcres_ref, dhf_ref,
+                dhe_ref, dh0_ref, dadj_ref, dw1_ref, dw2_ref,
+                dlih_ref, dlhh_ref, dlb_ref,
+                dh_scr, dlh_scr, dlc_scr, dh0_scr, dadj_scr,
+                dw1_scr, dw2_scr, dlih_scr, dlhh_scr, dlb_scr,
+                *, alpha, reason, rate, thresh, nl, nb, Hp):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    l = nl - 1 - j
+
+    @pl.when(jnp.logical_and(b == 0, j == 0))
+    def _():
+        dw1_scr[:] = jnp.zeros_like(dw1_scr)
+        dw2_scr[:] = jnp.zeros_like(dw2_scr)
+        dlih_scr[:] = jnp.zeros_like(dlih_scr)
+        dlhh_scr[:] = jnp.zeros_like(dlhh_scr)
+        dlb_scr[:] = jnp.zeros_like(dlb_scr)
+
+    @pl.when(j == 0)
+    def _():
+        dh_scr[:] = dhf_ref[0]
+        dlh_scr[:] = jnp.zeros_like(dlh_scr)
+        dlc_scr[:] = jnp.zeros_like(dlc_scr)
+        dh0_scr[:] = jnp.zeros_like(dh0_scr)
+        dadj_scr[:] = jnp.zeros_like(dadj_scr)
+
+    h = hres_ref[0, 0].astype(jnp.float32)
+    lh = lhres_ref[0, 0].astype(jnp.float32)
+    lc = lcres_ref[0, 0].astype(jnp.float32)
+    adj = adj_ref[0]
+    h0 = h0_ref[0]
+    w1 = w1_ref[0]
+    w2 = w2_ref[0]
+    theta = theta_ref[l, 0]
+    lstm = (lih_ref[:], lhh_ref[:], lb_ref[:])
+
+    _, _, lc1, (h1, hi, pre, keep, gates) = _layer_fwd(
+        h, lh, lc, adj, h0, w1, w2, lstm,
+        theta=theta, alpha=alpha, reason=reason, rate=rate, thresh=thresh,
+        seed_args=(seed_ref[0], b, l), Hp=Hp)
+
+    dh_in = dh_scr[:]
+    dh3 = dh_in                                   # h_next = h3 (+ h)
+    dh2 = (jnp.where(keep, dh3 * (1.0 / (1.0 - rate)), 0.0)
+           if rate > 0.0 else dh3)
+    dpre = jnp.where(pre > 0.0, dh2, 0.0)
+    tdpre = theta * dpre
+
+    dw1_scr[l] += jax.lax.dot_general(
+        hi, tdpre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_scr[l] += jax.lax.dot_general(
+        h0.astype(jnp.float32), tdpre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    d_hi = (jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + (1.0 - theta) * (1.0 - alpha) * dpre)
+    dh0_scr[:] += (jax.lax.dot_general(tdpre, w2.astype(jnp.float32),
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+                   + (1.0 - theta) * alpha * dpre)
+    # hi = adj @ h1  (adj is the symmetric-normalized matrix, but use the
+    # explicit transposed contraction rather than assuming symmetry)
+    d_h1 = jax.lax.dot_general(adj.astype(jnp.float32), d_hi,
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dadj_scr[:] += jax.lax.dot_general(
+        d_hi, h1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if reason:
+        i, f, gg, o = gates
+        tl = jnp.tanh(lc1)
+        dlh1 = d_h1 + dlh_scr[:]
+        dlc1 = dlc_scr[:] + dlh1 * o * (1.0 - tl * tl)
+        do = dlh1 * tl
+        df = dlc1 * lc
+        di = dlc1 * gg
+        dgg = dlc1 * i
+        dgates = jnp.concatenate(
+            [di * i * (1.0 - i), df * f * (1.0 - f),
+             dgg * (1.0 - gg * gg), do * o * (1.0 - o)], axis=1)
+        ih, hh, _ = lstm
+        d_h_lstm = jax.lax.dot_general(dgates, ih,
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        dlh_new = jax.lax.dot_general(dgates, hh,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dlih_scr[:] += jax.lax.dot_general(h, dgates,
+                                           (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+        dlhh_scr[:] += jax.lax.dot_general(lh, dgates,
+                                           (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+        dlb_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
+        dh_total = dh_in + d_h_lstm        # skip (+h) plus LSTM input
+        dlc_new = dlc1 * f
+    else:
+        dh_total = d_h1
+        dlh_new = dlh_scr[:]
+        dlc_new = dlc_scr[:]
+
+    dh_scr[:] = dh_total
+    dlh_scr[:] = dlh_new
+    dlc_scr[:] = dlc_new
+
+    @pl.when(j == nl - 1)
+    def _():
+        dhe_ref[0] = dh_total
+        dh0_ref[0] = dh0_scr[:]
+        dadj_ref[0] = dadj_scr[:]
+
+    @pl.when(jnp.logical_and(b == nb - 1, j == nl - 1))
+    def _():
+        dw1_ref[:] = dw1_scr[:]
+        dw2_ref[:] = dw2_scr[:]
+        dlih_ref[:] = dlih_scr[:]
+        dlhh_ref[:] = dlhh_scr[:]
+        dlb_ref[:] = dlb_scr[:]
+
+
+def _per_b(*shape):
+    n = len(shape)
+    return pl.BlockSpec((1,) + shape, lambda b, l: (b,) + (0,) * n,
+                        memory_space=pltpu.VMEM)
+
+
+def _per_bl(*shape, rev_nl=None):
+    n = len(shape)
+    if rev_nl is None:
+        idx = lambda b, l: (b, l) + (0,) * n
+    else:
+        idx = lambda b, l: (b, rev_nl - 1 - l) + (0,) * n
+    return pl.BlockSpec((1, 1) + shape, idx, memory_space=pltpu.VMEM)
+
+
+def _per_l(*shape, rev_nl=None):
+    n = len(shape)
+    if rev_nl is None:
+        idx = lambda b, l: (l,) + (0,) * n
+    else:
+        idx = lambda b, l: (rev_nl - 1 - l,) + (0,) * n
+    return pl.BlockSpec((1,) + shape, idx, memory_space=pltpu.VMEM)
+
+
+def _const(*shape):
+    return pl.BlockSpec(shape, lambda b, l: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _smem(*shape):
+    return pl.BlockSpec(shape, lambda b, l: (0,) * len(shape),
+                        memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _stack_core(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
+    return _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb,
+                      theta, seed)[0]
+
+
+def _interp_mode(rate, interpret):
+    """interpret=True + live dropout needs the TPU-aware interpreter (the
+    HLO interpreter lacks the PRNG primitives; the TPU interpreter stubs
+    them with zeros — all-keep — which is why nn/gcn.py falls back to the
+    scan for live dropout off-TPU; tests exercise the scale path only)."""
+    if interpret and rate > 0.0:
+        return pltpu.InterpretParams()
+    return interpret
+
+
+def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
+    alpha, reason, rate, interpret = static
+    interpret = _interp_mode(rate, interpret)
+    B, Np, _ = adj.shape
+    nl, Hp, _ = W1.shape
+    thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
+    kernel = functools.partial(_fwd_kernel, alpha=alpha, reason=reason,
+                               rate=rate, thresh=thresh, nl=nl, Hp=Hp)
+    bf = jnp.bfloat16
+    h_out, h_res, lh_res, lc_res = pl.pallas_call(
+        kernel,
+        grid=(B, nl),
+        in_specs=[
+            _per_b(Np, Np), _per_b(Np, Hp), _per_b(Np, Hp),
+            _per_l(Hp, Hp), _per_l(Hp, Hp),
+            _smem(nl, 1),
+            _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
+            _smem(1,),
+        ],
+        out_specs=[
+            _per_b(Np, Hp),
+            _per_bl(Np, Hp), _per_bl(Np, Hp), _per_bl(Np, Hp),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((B, nl, Np, Hp), bf),
+            jax.ShapeDtypeStruct((B, nl, Np, Hp), bf),
+            jax.ShapeDtypeStruct((B, nl, Np, Hp), bf),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, Hp), jnp.float32)] * 3,
+        interpret=interpret,
+    )(adj, h_entry, h0, W1, W2, theta, lih, lhh, lb, seed)
+    res = (adj, h0, W1, W2, lih, lhh, lb, theta, seed,
+           h_res, lh_res, lc_res)
+    return h_out, res
+
+
+def _stack_bwd(static, res, dh_final):
+    alpha, reason, rate, interpret = static
+    interpret = _interp_mode(rate, interpret)
+    (adj, h0, W1, W2, lih, lhh, lb, theta, seed,
+     h_res, lh_res, lc_res) = res
+    B, Np, _ = adj.shape
+    nl, Hp, _ = W1.shape
+    thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
+    kernel = functools.partial(_bwd_kernel, alpha=alpha, reason=reason,
+                               rate=rate, thresh=thresh, nl=nl, nb=B, Hp=Hp)
+    (dhe, dh0, dadj, dW1, dW2, dlih, dlhh, dlb) = pl.pallas_call(
+        kernel,
+        grid=(B, nl),
+        in_specs=[
+            _per_b(Np, Np), _per_b(Np, Hp),
+            _per_l(Hp, Hp, rev_nl=nl), _per_l(Hp, Hp, rev_nl=nl),
+            _smem(nl, 1),
+            _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
+            _smem(1,),
+            _per_bl(Np, Hp, rev_nl=nl), _per_bl(Np, Hp, rev_nl=nl),
+            _per_bl(Np, Hp, rev_nl=nl),
+            _per_b(Np, Hp),
+        ],
+        out_specs=[
+            _per_b(Np, Hp), _per_b(Np, Hp), _per_b(Np, Np),
+            _const(nl, Hp, Hp), _const(nl, Hp, Hp),
+            _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, Np), jnp.float32),
+            jax.ShapeDtypeStruct((nl, Hp, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((nl, Hp, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, 4 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, 4 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * Hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Np, Hp), jnp.float32),      # dh
+            pltpu.VMEM((Np, Hp), jnp.float32),      # dlh
+            pltpu.VMEM((Np, Hp), jnp.float32),      # dlc
+            pltpu.VMEM((Np, Hp), jnp.float32),      # dh0 acc
+            pltpu.VMEM((Np, Np), jnp.float32),      # dadj acc
+            pltpu.VMEM((nl, Hp, Hp), jnp.float32),  # dW1 acc
+            pltpu.VMEM((nl, Hp, Hp), jnp.float32),  # dW2 acc
+            pltpu.VMEM((Hp, 4 * Hp), jnp.float32),
+            pltpu.VMEM((Hp, 4 * Hp), jnp.float32),
+            pltpu.VMEM((1, 4 * Hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(adj, h0, W1, W2, theta, lih, lhh, lb, seed,
+      h_res, lh_res, lc_res, dh_final)
+    import numpy as np
+    # cotangent dtypes must match the (bf16) primals; int seed gets float0
+    return (dadj.astype(adj.dtype), dhe, dh0.astype(h0.dtype),
+            dW1.astype(W1.dtype), dW2.astype(W2.dtype), dlih, dlhh, dlb,
+            jnp.zeros_like(theta),
+            np.zeros(seed.shape, jax.dtypes.float0))
+
+
+_stack_core.defvjp(_stack_fwd, _stack_bwd)
+
+
+def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
+                      h0: jnp.ndarray, W: jnp.ndarray, theta: jnp.ndarray,
+                      lstm_ih: Optional[jnp.ndarray],
+                      lstm_hh: Optional[jnp.ndarray],
+                      lstm_b: Optional[jnp.ndarray],
+                      *, alpha: float, reason: bool, rate: float,
+                      seed, interpret: bool = False) -> jnp.ndarray:
+    """Differentiable fused GCNII_lyc layer loop (variant=True,
+    dropout-after wiring).
+
+    Args:
+      adj: (B, N, N) normalized adjacency; h_entry: (B, N, H) loop-entry
+      hidden (post fc_in/ReLU/dropout); h0: (B, N, H) residual anchor;
+      W: (nlayers, 2H, H); theta: (nlayers,); lstm_*: shared reason-LSTM
+      params or None; rate: dropout rate (0 disables, in-kernel hardware
+      PRNG otherwise); seed: int32 scalar.
+    Returns:
+      (B, N, H) final hidden state (pad rows garbage, caller masks).
+    """
+    B, N, H = h_entry.shape
+    nl = W.shape[0]
+    Np = _round_up(N, 128)
+    Hp = _round_up(H, 128)
+    bf = jnp.bfloat16
+
+    pad = lambda a, *dims: jnp.pad(a, [(0, d - s) for s, d in
+                                       zip(a.shape, dims)])
+    adj_p = pad(adj.astype(bf), B, Np, Np)
+    he_p = pad(h_entry.astype(jnp.float32), B, Np, Hp)
+    h0_p = pad(h0.astype(bf), B, Np, Hp)
+    W1 = pad(W[:, :H].astype(bf), nl, Hp, Hp)
+    W2 = pad(W[:, H:].astype(bf), nl, Hp, Hp)
+    theta_c = jnp.asarray(theta, jnp.float32).reshape(nl, 1)
+
+    if reason:
+        pg = lambda a: jnp.concatenate(
+            [pad(a[..., k * H:(k + 1) * H].astype(jnp.float32),
+                 *(a.shape[:-1] + (Hp,))) for k in range(4)], axis=-1)
+        ih = jnp.pad(pg(lstm_ih), [(0, Hp - H), (0, 0)])
+        hh = jnp.pad(pg(lstm_hh), [(0, Hp - H), (0, 0)])
+        b_ = pg(lstm_b.reshape(1, -1))
+    else:
+        ih = jnp.zeros((Hp, 4 * Hp), jnp.float32)
+        hh = jnp.zeros((Hp, 4 * Hp), jnp.float32)
+        b_ = jnp.zeros((1, 4 * Hp), jnp.float32)
+
+    seed_c = jnp.asarray(seed, jnp.int32).reshape(1)
+    static = (float(alpha), bool(reason), float(rate), bool(interpret))
+    out = _stack_core(static, adj_p, he_p, h0_p, W1, W2, ih, hh, b_,
+                      theta_c, seed_c)
+    return out[:, :N, :H]
