@@ -221,17 +221,24 @@ class BiRNN(nn.Module):
             h0 = jnp.zeros((B, H), dtype=out.dtype)
             if (self.backend == "pallas" and self.bidirectional
                     and self.cell == "gru"):
-                from mmdfn_tpu.ops.pallas_rnn import fused_bigru_layer
+                from mmdfn_tpu.ops.pallas_rnn import (
+                    fused_bigru_layer_packed, pack_gate_weights)
                 w_ih_f, w_hh_f, b_ih_f, b_hh_f = params["fwd"]
                 w_ih_b, w_hh_b, b_ih_b, b_hh_b = params["bwd"]
-                xg_f = out @ w_ih_f + b_ih_f
-                xg_b = flip(out) @ w_ih_b + b_ih_b
+                # gate-pack the (tiny) input weights so the projection
+                # matmul emits kernel-ready pre-activations — no
+                # split/pad/concat pass over the (B, L, 3H) tensors
+                # (bit-identical: matmul columns are independent)
+                wp_f, bp_f = pack_gate_weights(w_ih_f, b_ih_f, H)
+                wp_b, bp_b = pack_gate_weights(w_ih_b, b_ih_b, H)
+                xg_f = out @ wp_f + bp_f
+                xg_b = flip(out) @ wp_b + bp_b
                 # interpret off-TPU (CI runs the kernel on the CPU
                 # interpreter; same auto-resolution caveat as GCNIIStack's
                 # scan_unroll — trace-time process-default backend)
                 interp = jax.default_backend() not in ("tpu", "axon")
-                ys_f, ys_b = fused_bigru_layer(
-                    xg_f, xg_b, w_hh_f, b_hh_f, w_hh_b, b_hh_b,
+                ys_f, ys_b = fused_bigru_layer_packed(
+                    xg_f, xg_b, w_hh_f, b_hh_f, w_hh_b, b_hh_b, H,
                     interpret=interp)
                 feats = [ys_f.astype(out.dtype),
                          flip(ys_b.astype(out.dtype))]
@@ -349,8 +356,6 @@ def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
     t = jnp.arange(L)[None, None, :]
     is_p = jnp.transpose(qmask, (0, 2, 1)) > 0            # (B, P, L)
     is_p = jnp.logical_and(is_p, umask[:, None, :] > 0)
-    key = jnp.where(is_p, t, t + L)                        # (B, P, L)
-    perm = jnp.argsort(key, axis=-1)                       # party frames first
     counts = jnp.sum(is_p, axis=-1)                        # (B, P)
 
     valid = (jnp.arange(L)[None, None, :] < counts[..., None])  # (B, P, L)
@@ -371,11 +376,22 @@ def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
         x_clean = jnp.where(umask[..., None] > 0, x, 0.0)   # select, not
                                                             # multiply: 0*inf
                                                             # would NaN here
-        onehot = jax.nn.one_hot(perm, L, dtype=x.dtype)    # (B, P, L, L)
+        # destination slot of frame m: its time-rank among this party's
+        # frames if it IS one, else counts + its rank among the rest —
+        # exactly the stable argsort of (t if is_p else t+L) that the
+        # gather path uses, but via two cumsums + a broadcast compare
+        # instead of a sort network (~0.13 ms/step of the flagship profile)
+        cs_p = jnp.cumsum(is_p, axis=-1)                   # (B, P, L)
+        cs_n = jnp.cumsum(jnp.logical_not(is_p), axis=-1)
+        slot = jnp.where(is_p, cs_p - 1, counts[..., None] + cs_n - 1)
+        onehot = (slot[..., None, :] ==
+                  jnp.arange(L)[:, None]).astype(x.dtype)  # (B, P, L, L)
         hi = jax.lax.Precision.HIGHEST
         gathered = jnp.einsum("bplm,bmd->bpld", onehot, x_clean, precision=hi)
         gathered = gathered * valid[..., None]
     else:
+        key = jnp.where(is_p, t, t + L)                    # (B, P, L)
+        perm = jnp.argsort(key, axis=-1)                   # party frames first
         xb = jnp.broadcast_to(x[:, None], (B, P, L, x.shape[-1]))
         gathered = jnp.take_along_axis(xb, perm[..., None], axis=2)
         gathered = gathered * valid[..., None]

@@ -8,8 +8,9 @@ HBM traffic between the matmuls (mul/add/concat/select/reduce + dropout
 masks) plus the backward's per-layer residual reads — exactly what a fused
 fwd+bwd kernel eliminates.
 
-Design (both kernels grid = (B, nlayers), layer axis innermost; carries in
-VMEM scratch persist across sequential grid steps):
+Design (both kernels grid = (B, nlayers/K) with K layers statically
+unrolled per grid step, layer-block axis innermost; carries in VMEM
+scratch persist across sequential grid steps):
 
 * forward: per (b, l) recompute the layer with the adjacency resident in
   VMEM; store ONLY the three per-layer carries (h, lh, lc — the LSTM states
@@ -33,6 +34,15 @@ same contract as the trainer's `rng_impl='rbg'` knob.
 Numerics: matmul inputs bf16 (same trade as `gcn_compute_dtype='bfloat16'`,
 the production scan config), f32 accumulation and elementwise math,
 residuals stored bf16.
+
+Layer blocking (round 3): each (b, layer) grid step runs only ~60 MFLOP of
+bf16 matmuls — well under a microsecond of MXU time — so at grid
+(B, nlayers) = 512 steps the stack was grid-step-overhead-bound (~1 us/step
+fwd, ~2.5 us/step bwd in the op profile).  Unrolling K layers per grid
+step divides that overhead by K; the per-block VMEM footprint grows only
+by the K per-layer weight/residual slabs (~0.5 MB at K=8), far under
+budget.  Identical math — the loop order is unchanged, only the grid/DMA
+granularity moves.
 """
 
 from __future__ import annotations
@@ -98,35 +108,36 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 lih_ref, lhh_ref, lb_ref, seed_ref,
                 hout_ref, hres_ref, lhres_ref, lcres_ref,
                 h_scr, lh_scr, lc_scr,
-                *, alpha, reason, rate, thresh, nl, Hp):
+                *, alpha, reason, rate, thresh, nlb, K, Hp):
     b = pl.program_id(0)
-    l = pl.program_id(1)
+    j = pl.program_id(1)               # layer-block index; layers j*K..+K-1
 
-    @pl.when(l == 0)
+    @pl.when(j == 0)
     def _():
         h_scr[:] = he_ref[0].astype(jnp.float32)
         lh_scr[:] = jnp.zeros_like(lh_scr)
         lc_scr[:] = jnp.zeros_like(lc_scr)
 
     h, lh, lc = h_scr[:], lh_scr[:], lc_scr[:]
-    # residuals: the pre-layer carries, bf16
-    hres_ref[0, 0] = h.astype(jnp.bfloat16)
-    lhres_ref[0, 0] = lh.astype(jnp.bfloat16)
-    lcres_ref[0, 0] = lc.astype(jnp.bfloat16)
+    lstm = (lih_ref[:], lhh_ref[:], lb_ref[:])
+    for k in range(K):                 # static unroll over the block
+        l = j * K + k
+        # residuals: the pre-layer carries, bf16
+        hres_ref[0, k] = h.astype(jnp.bfloat16)
+        lhres_ref[0, k] = lh.astype(jnp.bfloat16)
+        lcres_ref[0, k] = lc.astype(jnp.bfloat16)
+        h, lh, lc, _ = _layer_fwd(
+            h, lh, lc, adj_ref[0], h0_ref[0], w1_ref[k], w2_ref[k], lstm,
+            theta=theta_ref[l, 0], alpha=alpha, reason=reason, rate=rate,
+            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp)
 
-    h_next, lh1, lc1, _ = _layer_fwd(
-        h, lh, lc, adj_ref[0], h0_ref[0], w1_ref[0], w2_ref[0],
-        (lih_ref[:], lhh_ref[:], lb_ref[:]),
-        theta=theta_ref[l, 0], alpha=alpha, reason=reason, rate=rate,
-        thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp)
+    h_scr[:] = h
+    lh_scr[:] = lh
+    lc_scr[:] = lc
 
-    h_scr[:] = h_next
-    lh_scr[:] = lh1
-    lc_scr[:] = lc1
-
-    @pl.when(l == nl - 1)
+    @pl.when(j == nlb - 1)
     def _():
-        hout_ref[0] = h_next
+        hout_ref[0] = h
 
 
 def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
@@ -136,10 +147,9 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 dlih_ref, dlhh_ref, dlb_ref,
                 dh_scr, dlh_scr, dlc_scr, dh0_scr, dadj_scr,
                 dw1_scr, dw2_scr, dlih_scr, dlhh_scr, dlb_scr,
-                *, alpha, reason, rate, thresh, nl, nb, Hp):
+                *, alpha, reason, rate, thresh, nlb, K, nb, Hp):
     b = pl.program_id(0)
-    j = pl.program_id(1)
-    l = nl - 1 - j
+    j = pl.program_id(1)               # reversed: layer-block nlb-1-j
 
     @pl.when(jnp.logical_and(b == 0, j == 0))
     def _():
@@ -157,95 +167,98 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         dh0_scr[:] = jnp.zeros_like(dh0_scr)
         dadj_scr[:] = jnp.zeros_like(dadj_scr)
 
-    h = hres_ref[0, 0].astype(jnp.float32)
-    lh = lhres_ref[0, 0].astype(jnp.float32)
-    lc = lcres_ref[0, 0].astype(jnp.float32)
     adj = adj_ref[0]
     h0 = h0_ref[0]
-    w1 = w1_ref[0]
-    w2 = w2_ref[0]
-    theta = theta_ref[l, 0]
     lstm = (lih_ref[:], lhh_ref[:], lb_ref[:])
+    base = (nlb - 1 - j) * K           # this block's first layer index
+    for k in range(K - 1, -1, -1):     # static reverse unroll
+        l = base + k
+        h = hres_ref[0, k].astype(jnp.float32)
+        lh = lhres_ref[0, k].astype(jnp.float32)
+        lc = lcres_ref[0, k].astype(jnp.float32)
+        w1 = w1_ref[k]
+        w2 = w2_ref[k]
+        theta = theta_ref[l, 0]
 
-    _, _, lc1, (h1, hi, pre, keep, gates) = _layer_fwd(
-        h, lh, lc, adj, h0, w1, w2, lstm,
-        theta=theta, alpha=alpha, reason=reason, rate=rate, thresh=thresh,
-        seed_args=(seed_ref[0], b, l), Hp=Hp)
+        _, _, lc1, (h1, hi, pre, keep, gates) = _layer_fwd(
+            h, lh, lc, adj, h0, w1, w2, lstm,
+            theta=theta, alpha=alpha, reason=reason, rate=rate,
+            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp)
 
-    dh_in = dh_scr[:]
-    dh3 = dh_in                                   # h_next = h3 (+ h)
-    dh2 = (jnp.where(keep, dh3 * (1.0 / (1.0 - rate)), 0.0)
-           if rate > 0.0 else dh3)
-    dpre = jnp.where(pre > 0.0, dh2, 0.0)
-    tdpre = theta * dpre
+        dh_in = dh_scr[:]
+        dh3 = dh_in                                   # h_next = h3 (+ h)
+        dh2 = (jnp.where(keep, dh3 * (1.0 / (1.0 - rate)), 0.0)
+               if rate > 0.0 else dh3)
+        dpre = jnp.where(pre > 0.0, dh2, 0.0)
+        tdpre = theta * dpre
 
-    dw1_scr[l] += jax.lax.dot_general(
-        hi, tdpre, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dw2_scr[l] += jax.lax.dot_general(
-        h0.astype(jnp.float32), tdpre, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    d_hi = (jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            + (1.0 - theta) * (1.0 - alpha) * dpre)
-    dh0_scr[:] += (jax.lax.dot_general(tdpre, w2.astype(jnp.float32),
-                                       (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-                   + (1.0 - theta) * alpha * dpre)
-    # hi = adj @ h1  (adj is the symmetric-normalized matrix, but use the
-    # explicit transposed contraction rather than assuming symmetry)
-    d_h1 = jax.lax.dot_general(adj.astype(jnp.float32), d_hi,
-                               (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dadj_scr[:] += jax.lax.dot_general(
-        d_hi, h1, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    if reason:
-        i, f, gg, o = gates
-        tl = jnp.tanh(lc1)
-        dlh1 = d_h1 + dlh_scr[:]
-        dlc1 = dlc_scr[:] + dlh1 * o * (1.0 - tl * tl)
-        do = dlh1 * tl
-        df = dlc1 * lc
-        di = dlc1 * gg
-        dgg = dlc1 * i
-        dgates = jnp.concatenate(
-            [di * i * (1.0 - i), df * f * (1.0 - f),
-             dgg * (1.0 - gg * gg), do * o * (1.0 - o)], axis=1)
-        ih, hh, _ = lstm
-        d_h_lstm = jax.lax.dot_general(dgates, ih,
-                                       (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-        dlh_new = jax.lax.dot_general(dgates, hh,
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dlih_scr[:] += jax.lax.dot_general(h, dgates,
-                                           (((0,), (0,)), ((), ())),
+        dw1_scr[l] += jax.lax.dot_general(
+            hi, tdpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw2_scr[l] += jax.lax.dot_general(
+            h0.astype(jnp.float32), tdpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_hi = (jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                + (1.0 - theta) * (1.0 - alpha) * dpre)
+        dh0_scr[:] += (jax.lax.dot_general(tdpre, w2.astype(jnp.float32),
+                                           (((1,), (1,)), ((), ())),
                                            preferred_element_type=jnp.float32)
-        dlhh_scr[:] += jax.lax.dot_general(lh, dgates,
-                                           (((0,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
-        dlb_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
-        dh_total = dh_in + d_h_lstm        # skip (+h) plus LSTM input
-        dlc_new = dlc1 * f
-    else:
-        dh_total = d_h1
-        dlh_new = dlh_scr[:]
-        dlc_new = dlc_scr[:]
+                       + (1.0 - theta) * alpha * dpre)
+        # hi = adj @ h1  (adj is the symmetric-normalized matrix, but use
+        # the explicit transposed contraction, not assumed symmetry)
+        d_h1 = jax.lax.dot_general(adj.astype(jnp.float32), d_hi,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dadj_scr[:] += jax.lax.dot_general(
+            d_hi, h1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    dh_scr[:] = dh_total
-    dlh_scr[:] = dlh_new
-    dlc_scr[:] = dlc_new
+        if reason:
+            i, f, gg, o = gates
+            tl = jnp.tanh(lc1)
+            dlh1 = d_h1 + dlh_scr[:]
+            dlc1 = dlc_scr[:] + dlh1 * o * (1.0 - tl * tl)
+            do = dlh1 * tl
+            df = dlc1 * lc
+            di = dlc1 * gg
+            dgg = dlc1 * i
+            dgates = jnp.concatenate(
+                [di * i * (1.0 - i), df * f * (1.0 - f),
+                 dgg * (1.0 - gg * gg), do * o * (1.0 - o)], axis=1)
+            ih, hh, _ = lstm
+            d_h_lstm = jax.lax.dot_general(
+                dgates, ih, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dlh_new = jax.lax.dot_general(
+                dgates, hh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dlih_scr[:] += jax.lax.dot_general(
+                h, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dlhh_scr[:] += jax.lax.dot_general(
+                lh, dgates, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dlb_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
+            dh_total = dh_in + d_h_lstm        # skip (+h) plus LSTM input
+            dlc_new = dlc1 * f
+        else:
+            dh_total = d_h1
+            dlh_new = dlh_scr[:]
+            dlc_new = dlc_scr[:]
 
-    @pl.when(j == nl - 1)
+        dh_scr[:] = dh_total
+        dlh_scr[:] = dlh_new
+        dlc_scr[:] = dlc_new
+
+    @pl.when(j == nlb - 1)
     def _():
-        dhe_ref[0] = dh_total
+        dhe_ref[0] = dh_scr[:]
         dh0_ref[0] = dh0_scr[:]
         dadj_ref[0] = dadj_scr[:]
 
-    @pl.when(jnp.logical_and(b == nb - 1, j == nl - 1))
+    @pl.when(jnp.logical_and(b == nb - 1, j == nlb - 1))
     def _():
         dw1_ref[:] = dw1_scr[:]
         dw2_ref[:] = dw2_scr[:]
@@ -260,22 +273,24 @@ def _per_b(*shape):
                         memory_space=pltpu.VMEM)
 
 
-def _per_bl(*shape, rev_nl=None):
+def _per_bl(K, *shape, rev_nlb=None):
+    """Per-(batch, layer-block) slab of K layers' residuals."""
     n = len(shape)
-    if rev_nl is None:
-        idx = lambda b, l: (b, l) + (0,) * n
+    if rev_nlb is None:
+        idx = lambda b, j: (b, j) + (0,) * n
     else:
-        idx = lambda b, l: (b, rev_nl - 1 - l) + (0,) * n
-    return pl.BlockSpec((1, 1) + shape, idx, memory_space=pltpu.VMEM)
+        idx = lambda b, j: (b, rev_nlb - 1 - j) + (0,) * n
+    return pl.BlockSpec((1, K) + shape, idx, memory_space=pltpu.VMEM)
 
 
-def _per_l(*shape, rev_nl=None):
+def _per_l(K, *shape, rev_nlb=None):
+    """Per-layer-block slab of K layers' weights."""
     n = len(shape)
-    if rev_nl is None:
-        idx = lambda b, l: (l,) + (0,) * n
+    if rev_nlb is None:
+        idx = lambda b, j: (j,) + (0,) * n
     else:
-        idx = lambda b, l: (rev_nl - 1 - l,) + (0,) * n
-    return pl.BlockSpec((1,) + shape, idx, memory_space=pltpu.VMEM)
+        idx = lambda b, j: (rev_nlb - 1 - j,) + (0,) * n
+    return pl.BlockSpec((K,) + shape, idx, memory_space=pltpu.VMEM)
 
 
 def _const(*shape):
@@ -304,28 +319,40 @@ def _interp_mode(rate, interpret):
     return interpret
 
 
+def _layer_block(nl: int) -> int:
+    """Layers per grid step: largest of 8/4/2/1 dividing nl (8 keeps the
+    per-block residual slabs ~1.5 MB; nl is a layer-count flag, always
+    even in practice)."""
+    for K in (8, 4, 2):
+        if nl % K == 0:
+            return K
+    return 1
+
+
 def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
     alpha, reason, rate, interpret = static
     interpret = _interp_mode(rate, interpret)
     B, Np, _ = adj.shape
     nl, Hp, _ = W1.shape
+    K = _layer_block(nl)
+    nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
     kernel = functools.partial(_fwd_kernel, alpha=alpha, reason=reason,
-                               rate=rate, thresh=thresh, nl=nl, Hp=Hp)
+                               rate=rate, thresh=thresh, nlb=nlb, K=K, Hp=Hp)
     bf = jnp.bfloat16
     h_out, h_res, lh_res, lc_res = pl.pallas_call(
         kernel,
-        grid=(B, nl),
+        grid=(B, nlb),
         in_specs=[
             _per_b(Np, Np), _per_b(Np, Hp), _per_b(Np, Hp),
-            _per_l(Hp, Hp), _per_l(Hp, Hp),
+            _per_l(K, Hp, Hp), _per_l(K, Hp, Hp),
             _smem(nl, 1),
             _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
             _smem(1,),
         ],
         out_specs=[
             _per_b(Np, Hp),
-            _per_bl(Np, Hp), _per_bl(Np, Hp), _per_bl(Np, Hp),
+            _per_bl(K, Np, Hp), _per_bl(K, Np, Hp), _per_bl(K, Np, Hp),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Np, Hp), jnp.float32),
@@ -348,20 +375,23 @@ def _stack_bwd(static, res, dh_final):
      h_res, lh_res, lc_res) = res
     B, Np, _ = adj.shape
     nl, Hp, _ = W1.shape
+    K = _layer_block(nl)
+    nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
     kernel = functools.partial(_bwd_kernel, alpha=alpha, reason=reason,
-                               rate=rate, thresh=thresh, nl=nl, nb=B, Hp=Hp)
+                               rate=rate, thresh=thresh, nlb=nlb, K=K,
+                               nb=B, Hp=Hp)
     (dhe, dh0, dadj, dW1, dW2, dlih, dlhh, dlb) = pl.pallas_call(
         kernel,
-        grid=(B, nl),
+        grid=(B, nlb),
         in_specs=[
             _per_b(Np, Np), _per_b(Np, Hp),
-            _per_l(Hp, Hp, rev_nl=nl), _per_l(Hp, Hp, rev_nl=nl),
+            _per_l(K, Hp, Hp, rev_nlb=nlb), _per_l(K, Hp, Hp, rev_nlb=nlb),
             _smem(nl, 1),
             _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
             _smem(1,),
-            _per_bl(Np, Hp, rev_nl=nl), _per_bl(Np, Hp, rev_nl=nl),
-            _per_bl(Np, Hp, rev_nl=nl),
+            _per_bl(K, Np, Hp, rev_nlb=nlb), _per_bl(K, Np, Hp, rev_nlb=nlb),
+            _per_bl(K, Np, Hp, rev_nlb=nlb),
             _per_b(Np, Hp),
         ],
         out_specs=[

@@ -29,6 +29,17 @@ Gates are padded PER GATE to lane-aligned ``Hp = ceil(H/128)*128`` blocks so
 in-kernel gate slices stay tile-aligned; zero-padding is invariant under the
 gate math (pad columns of the carry stay exactly 0: r=z=sigmoid(0)=0.5,
 n=tanh(0)=0 => h' = 0.5*0 + 0.5*0).
+
+HBM-glue design (round-3 profile-driven): all kernel operands are
+BATCH-FIRST ``(Bp, Lp, G)`` and the time axis is blocked by the grid's
+``index_map`` — no host-side ``swapaxes`` pass over the big ``xg``/``ys``
+tensors.  Gate packing to lane-aligned ``Hp`` is applied to the WEIGHTS
+(``pack_gate_weights``, a few KB) rather than to ``xg`` (tens of MB):
+``x @ pack(W_ih)`` produces packed pre-activations directly because each
+output column of a matmul is independent — bit-identical values, zero
+extra passes.  The round-2 layout cost ~0.5 ms/step of pad/concat/
+transpose traffic around the CRN's B*P*3-batched calls (op profile,
+DESIGN.md).
 """
 
 from __future__ import annotations
@@ -77,8 +88,8 @@ def _fwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
         for t in range(T):                        # static unroll
             hg = jnp.dot(h, whh,
                          preferred_element_type=jnp.float32) + bhh
-            h = _gru_step(xg_ref[t], hg, h, Hp)
-            ys_ref[t] = h
+            h = _gru_step(xg_ref[:, t], hg, h, Hp)
+            ys_ref[:, t] = h
         h_scr[:] = h
 
 
@@ -114,10 +125,10 @@ def _bwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
         dw = dw_scr[:]
         db = db_scr[:]
         for t in range(T - 1, -1, -1):            # static reverse unroll
-            h_prev = hprev_ref[t]
-            dh = dh + dy_ref[t]
+            h_prev = hprev_ref[:, t]
+            dh = dh + dy_ref[:, t]
 
-            xg = xg_ref[t]
+            xg = xg_ref[:, t]
             hg = jnp.dot(h_prev, whh,
                          preferred_element_type=jnp.float32) + bhh
             xr, xz, xn = xg[:, :Hp], xg[:, Hp:2 * Hp], xg[:, 2 * Hp:]
@@ -132,7 +143,7 @@ def _bwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
             dr = dn * hn * r * (1.0 - r)              # through sigmoid
             dhgn = dn * r
             dhg = jnp.concatenate([dr, dz, dhgn], axis=1)   # (Bp, 3Hp)
-            dxg_ref[t] = jnp.concatenate([dr, dz, dn], axis=1)  # dxn == dn
+            dxg_ref[:, t] = jnp.concatenate([dr, dz, dn], axis=1)  # dxn==dn
 
             dh = dh * z + jax.lax.dot_general(
                 dhg, whh, (((1,), (1,)), ((), ())),
@@ -161,13 +172,13 @@ def _pick_T(L, Bp, Hp):
     return max(1, min(8, L, budget // (Bp * 3 * Hp * 4)))
 
 
-def _blk_spec(T, Bp, G):
-    return pl.BlockSpec((T, Bp, G), lambda i: (i, 0, 0),
+def _blk_spec(Bp, T, G):
+    return pl.BlockSpec((Bp, T, G), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _rev_blk_spec(T, Bp, G, nT):
-    return pl.BlockSpec((T, Bp, G), lambda i: (nT - 1 - i, 0, 0),
+def _rev_blk_spec(Bp, T, G, nT):
+    return pl.BlockSpec((Bp, T, G), lambda i: (0, nT - 1 - i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -177,7 +188,7 @@ def _const_spec(*shape):
 
 
 def _pad_time(a, Lp):
-    return jnp.pad(a, ((0, Lp - a.shape[0]), (0, 0), (0, 0)))
+    return jnp.pad(a, ((0, 0), (0, Lp - a.shape[1]), (0, 0)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -186,7 +197,7 @@ def _bigru_core(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
 
 
 def _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
-    L, Bp, G3 = xg_f.shape
+    Bp, L, G3 = xg_f.shape
     Hp = G3 // 3
     T = _pick_T(L, Bp, Hp)
     nT = -(-L // T)
@@ -198,16 +209,16 @@ def _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
         kernel,
         grid=(nT,),
         in_specs=[
-            _blk_spec(T, Bp, 3 * Hp), _blk_spec(T, Bp, 3 * Hp),
+            _blk_spec(Bp, T, 3 * Hp), _blk_spec(Bp, T, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
         ],
-        out_specs=[_blk_spec(T, Bp, Hp), _blk_spec(T, Bp, Hp)],
-        out_shape=[jax.ShapeDtypeStruct((Lp, Bp, Hp), jnp.float32)] * 2,
+        out_specs=[_blk_spec(Bp, T, Hp), _blk_spec(Bp, T, Hp)],
+        out_shape=[jax.ShapeDtypeStruct((Bp, Lp, Hp), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((Bp, Hp), jnp.float32)] * 2,
         interpret=interpret,
     )(xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b)
-    ys_f, ys_b = ys_f[:L], ys_b[:L]
+    ys_f, ys_b = ys_f[:, :L], ys_b[:, :L]
     res = (xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, ys_f, ys_b)
     return (ys_f, ys_b), res
 
@@ -215,16 +226,16 @@ def _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
 def _bigru_bwd(interpret, res, grads):
     xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, ys_f, ys_b = res
     dy_f, dy_b = grads
-    Lp, Bp, G3 = xg_f.shape            # xg is already time-padded
+    Bp, Lp, G3 = xg_f.shape            # xg is already time-padded
     Hp = G3 // 3
-    L = ys_f.shape[0]
+    L = ys_f.shape[1]
     T = _pick_T(L, Bp, Hp)
     nT = Lp // T
 
     # h_{s-1} as a plain shifted array: pad steps (s >= L) see zero
     # dy/xg/hprev, so the whole pad tail back-propagates exact zeros
     shift = lambda ys: _pad_time(
-        jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0), Lp)
+        jnp.concatenate([jnp.zeros_like(ys[:, :1]), ys[:, :-1]], axis=1), Lp)
     hprev_f, hprev_b = shift(ys_f), shift(ys_b)
     dy_f, dy_b = _pad_time(dy_f, Lp), _pad_time(dy_b, Lp)
 
@@ -233,20 +244,20 @@ def _bigru_bwd(interpret, res, grads):
         kernel,
         grid=(nT,),
         in_specs=[
-            _rev_blk_spec(T, Bp, 3 * Hp, nT), _rev_blk_spec(T, Bp, 3 * Hp, nT),
+            _rev_blk_spec(Bp, T, 3 * Hp, nT), _rev_blk_spec(Bp, T, 3 * Hp, nT),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
-            _rev_blk_spec(T, Bp, Hp, nT), _rev_blk_spec(T, Bp, Hp, nT),
-            _rev_blk_spec(T, Bp, Hp, nT), _rev_blk_spec(T, Bp, Hp, nT),
+            _rev_blk_spec(Bp, T, Hp, nT), _rev_blk_spec(Bp, T, Hp, nT),
+            _rev_blk_spec(Bp, T, Hp, nT), _rev_blk_spec(Bp, T, Hp, nT),
         ],
         out_specs=[
-            _rev_blk_spec(T, Bp, 3 * Hp, nT), _rev_blk_spec(T, Bp, 3 * Hp, nT),
+            _rev_blk_spec(Bp, T, 3 * Hp, nT), _rev_blk_spec(Bp, T, 3 * Hp, nT),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Lp, Bp, 3 * Hp), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, Bp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Lp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Lp, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
@@ -262,7 +273,7 @@ def _bigru_bwd(interpret, res, grads):
         ],
         interpret=interpret,
     )(xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, hprev_f, hprev_b, dy_f, dy_b)
-    return dxg_f[:L], dxg_b[:L], dw_f, db_f, dw_b, db_b
+    return dxg_f[:, :L], dxg_b[:, :L], dw_f, db_f, dw_b, db_b
 
 
 _bigru_core.defvjp(_bigru_fwd, _bigru_bwd)
@@ -276,32 +287,47 @@ def _pack_gates(a, H, Hp, axis):
     return jnp.concatenate([jnp.pad(p, pad) for p in parts], axis=axis)
 
 
-def fused_bigru_layer(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
-                      whh_f: jnp.ndarray, bhh_f: jnp.ndarray,
-                      whh_b: jnp.ndarray, bhh_b: jnp.ndarray,
-                      *, interpret: bool = False
+def pack_gate_weights(w_ih: jnp.ndarray, b_ih: jnp.ndarray, H: int
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One bidirectional GRU layer's hidden recurrence, fused.
+    """Gate-pack the INPUT projection so ``x @ w`` is born kernel-ready.
 
-    Drop-in for the two ``_gru_scan`` calls of a BiRNN layer (or one
-    ``_gru_scan_bidi``): ``xg_b`` must already be time-flipped
-    (valid-frames-first) and the returned backward stream is still flipped.
+    ``w_ih`` (D, 3H) / ``b_ih`` (3H,) -> (D, 3Hp) / (3Hp,) with each gate's
+    H columns zero-padded to Hp lanes.  Every output column of a matmul is
+    an independent dot product, so ``x @ pack(w) + pack(b)`` equals
+    ``pack(x @ w + b)`` bit-for-bit while skipping the split/pad/concat
+    HBM passes over the (B, L, 3H) pre-activations (and their transposes
+    in the backward).
+    """
+    Hp = _round_up(H, 128)
+    return (_pack_gates(w_ih, H, Hp, axis=1),
+            _pack_gates(b_ih.reshape(1, -1), H, Hp, axis=1).reshape(-1))
+
+
+def fused_bigru_layer_packed(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+                             whh_f: jnp.ndarray, bhh_f: jnp.ndarray,
+                             whh_b: jnp.ndarray, bhh_b: jnp.ndarray,
+                             H: int, *, interpret: bool = False
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused bi-GRU layer on gate-packed pre-activations.
 
     Args:
-      xg_f / xg_b: (B, L, 3H) precomputed ``x @ W_ih + b_ih`` per direction.
-      whh_f / whh_b: (H, 3H) hidden weights; bhh_f / bhh_b: (3H,).
+      xg_f / xg_b: (B, L, 3Hp) gate-packed ``x @ pack(W_ih) + pack(b_ih)``
+        per direction (``xg_b`` time-flipped valid-first, as in
+        :func:`fused_bigru_layer`).
+      whh_f / whh_b: (H, 3H) UNPACKED hidden weights; bhh: (3H,).
+      H: logical hidden size (Hp is inferred from xg's last dim).
     Returns:
-      (ys_f, ys_b): (B, L, H) per-direction outputs, float32.
+      (ys_f, ys_b): (B, L, H) float32 per-direction outputs.
     """
-    B, L, G3 = xg_f.shape
-    H = G3 // 3
-    Hp = _round_up(H, 128)
+    B, L, G3p = xg_f.shape
+    Hp = G3p // 3
     Bp = _round_up(B, 8)
 
     def prep_xg(xg):
-        xg = _pack_gates(xg.astype(jnp.float32), H, Hp, axis=2)
-        xg = jnp.pad(xg, ((0, Bp - B), (0, 0), (0, 0)))
-        return jnp.swapaxes(xg, 0, 1)                 # (L, Bp, 3Hp)
+        xg = xg.astype(jnp.float32)
+        if Bp != B:
+            xg = jnp.pad(xg, ((0, Bp - B), (0, 0), (0, 0)))
+        return xg
 
     def prep_w(w):
         w = _pack_gates(w.astype(jnp.float32), H, Hp, axis=1)
@@ -313,5 +339,34 @@ def fused_bigru_layer(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
     ys_f, ys_b = _bigru_core(
         bool(interpret), prep_xg(xg_f), prep_xg(xg_b),
         prep_w(whh_f), prep_b(bhh_f), prep_w(whh_b), prep_b(bhh_b))
-    unpack = lambda ys: jnp.swapaxes(ys, 0, 1)[:B, :, :H]
-    return unpack(ys_f), unpack(ys_b)
+    return ys_f[:B, :, :H], ys_b[:B, :, :H]
+
+
+def fused_bigru_layer(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+                      whh_f: jnp.ndarray, bhh_f: jnp.ndarray,
+                      whh_b: jnp.ndarray, bhh_b: jnp.ndarray,
+                      *, interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One bidirectional GRU layer's hidden recurrence, fused.
+
+    Drop-in for the two ``_gru_scan`` calls of a BiRNN layer (or one
+    ``_gru_scan_bidi``): ``xg_b`` must already be time-flipped
+    (valid-frames-first) and the returned backward stream is still flipped.
+
+    Unpacked-``xg`` convenience wrapper over
+    :func:`fused_bigru_layer_packed` (which BiRNN calls directly with
+    weight-side packing to skip the per-call xg repack).
+
+    Args:
+      xg_f / xg_b: (B, L, 3H) precomputed ``x @ W_ih + b_ih`` per direction.
+      whh_f / whh_b: (H, 3H) hidden weights; bhh_f / bhh_b: (3H,).
+    Returns:
+      (ys_f, ys_b): (B, L, H) per-direction outputs, float32.
+    """
+    B, L, G3 = xg_f.shape
+    H = G3 // 3
+    Hp = _round_up(H, 128)
+    pack = lambda xg: _pack_gates(xg.astype(jnp.float32), H, Hp, axis=2)
+    return fused_bigru_layer_packed(
+        pack(xg_f), pack(xg_b), whh_f, bhh_f, whh_b, bhh_b, H,
+        interpret=interpret)

@@ -187,8 +187,7 @@ def test_rng_impl_rbg_trains_deterministically(synthetic_data):
     for impl in (None, "rbg"):
         cfg = tiny_cfg(rng_impl=impl, dropout=0.4)
         tr = Trainer(cfg)
-        batcher = BucketBatcher(cfg)
-        batch = next(iter(batcher.batches(train)))
+        batch = next(iter(BucketBatcher(train, 4, 2, (16,))))
         inputs = prepare_inputs(cfg, batch)
         out = []
         for _ in range(2):
