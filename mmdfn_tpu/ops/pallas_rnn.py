@@ -30,16 +30,17 @@ in-kernel gate slices stay tile-aligned; zero-padding is invariant under the
 gate math (pad columns of the carry stay exactly 0: r=z=sigmoid(0)=0.5,
 n=tanh(0)=0 => h' = 0.5*0 + 0.5*0).
 
-HBM-glue design (round-3 profile-driven): all kernel operands are
-BATCH-FIRST ``(Bp, Lp, G)`` and the time axis is blocked by the grid's
-``index_map`` — no host-side ``swapaxes`` pass over the big ``xg``/``ys``
-tensors.  Gate packing to lane-aligned ``Hp`` is applied to the WEIGHTS
-(``pack_gate_weights``, a few KB) rather than to ``xg`` (tens of MB):
-``x @ pack(W_ih)`` produces packed pre-activations directly because each
-output column of a matmul is independent — bit-identical values, zero
-extra passes.  The round-2 layout cost ~0.5 ms/step of pad/concat/
-transpose traffic around the CRN's B*P*3-batched calls (op profile,
-DESIGN.md).
+HBM-glue design (round-3, profile-driven): gate packing to ``Hp`` lanes is
+applied to the WEIGHTS (``pack_gate_weights``, a few KB) rather than to
+``xg`` (tens of MB): ``x @ pack(W_ih)`` produces packed pre-activations
+directly because each output column of a matmul is independent —
+bit-identical values, zero extra passes over the big tensors.  The kernel
+operands stay TIME-MAJOR ``(L, Bp, G)``: a batch-first layout was measured
+and REVERTED — with time second-minor, every in-kernel ``xg[:, t]`` access
+is sublane-strided against the (8, 128) VMEM tiling and the kernel ran ~5x
+slower (op profile: rnn_parties pallas 0.34 -> 1.71 ms/step), far more than
+the ~0.18 ms the avoided ``swapaxes`` saves.  ``xg[t]`` on a time-leading
+block is a whole aligned tile.
 """
 
 from __future__ import annotations
@@ -88,8 +89,8 @@ def _fwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
         for t in range(T):                        # static unroll
             hg = jnp.dot(h, whh,
                          preferred_element_type=jnp.float32) + bhh
-            h = _gru_step(xg_ref[:, t], hg, h, Hp)
-            ys_ref[:, t] = h
+            h = _gru_step(xg_ref[t], hg, h, Hp)
+            ys_ref[t] = h
         h_scr[:] = h
 
 
@@ -125,10 +126,10 @@ def _bwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
         dw = dw_scr[:]
         db = db_scr[:]
         for t in range(T - 1, -1, -1):            # static reverse unroll
-            h_prev = hprev_ref[:, t]
-            dh = dh + dy_ref[:, t]
+            h_prev = hprev_ref[t]
+            dh = dh + dy_ref[t]
 
-            xg = xg_ref[:, t]
+            xg = xg_ref[t]
             hg = jnp.dot(h_prev, whh,
                          preferred_element_type=jnp.float32) + bhh
             xr, xz, xn = xg[:, :Hp], xg[:, Hp:2 * Hp], xg[:, 2 * Hp:]
@@ -143,7 +144,7 @@ def _bwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
             dr = dn * hn * r * (1.0 - r)              # through sigmoid
             dhgn = dn * r
             dhg = jnp.concatenate([dr, dz, dhgn], axis=1)   # (Bp, 3Hp)
-            dxg_ref[:, t] = jnp.concatenate([dr, dz, dn], axis=1)  # dxn==dn
+            dxg_ref[t] = jnp.concatenate([dr, dz, dn], axis=1)  # dxn == dn
 
             dh = dh * z + jax.lax.dot_general(
                 dhg, whh, (((1,), (1,)), ((), ())),
@@ -167,18 +168,25 @@ def _bwd_kernel(xgf_ref, xgb_ref, whhf_ref, bhhf_ref, whhb_ref, bhhb_ref,
 def _pick_T(L, Bp, Hp):
     """Time steps per grid block: amortize per-grid-step overhead while
     keeping the double-buffered blocks within a ~1 MB per-direction budget
-    (the backward streams ~2.7x the forward per step)."""
+    (the backward streams ~2.7x the forward per step).  Prefer the largest
+    in-budget T that DIVIDES L: a non-divisor means Lp > L and every
+    operand/cotangent gets a whole-tensor time-pad copy in XLA (~0.23
+    ms/step at the flagship CRN shapes — more than the grid steps saved)."""
     budget = 1 << 20
-    return max(1, min(8, L, budget // (Bp * 3 * Hp * 4)))
+    cap = max(1, min(8, L, budget // (Bp * 3 * Hp * 4)))
+    for T in range(cap, 1, -1):
+        if L % T == 0:
+            return T
+    return cap
 
 
-def _blk_spec(Bp, T, G):
-    return pl.BlockSpec((Bp, T, G), lambda i: (0, i, 0),
+def _blk_spec(T, Bp, G):
+    return pl.BlockSpec((T, Bp, G), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _rev_blk_spec(Bp, T, G, nT):
-    return pl.BlockSpec((Bp, T, G), lambda i: (0, nT - 1 - i, 0),
+def _rev_blk_spec(T, Bp, G, nT):
+    return pl.BlockSpec((T, Bp, G), lambda i: (nT - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -188,7 +196,7 @@ def _const_spec(*shape):
 
 
 def _pad_time(a, Lp):
-    return jnp.pad(a, ((0, 0), (0, Lp - a.shape[1]), (0, 0)))
+    return jnp.pad(a, ((0, Lp - a.shape[0]), (0, 0), (0, 0)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -197,7 +205,7 @@ def _bigru_core(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
 
 
 def _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
-    Bp, L, G3 = xg_f.shape
+    L, Bp, G3 = xg_f.shape
     Hp = G3 // 3
     T = _pick_T(L, Bp, Hp)
     nT = -(-L // T)
@@ -209,16 +217,16 @@ def _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
         kernel,
         grid=(nT,),
         in_specs=[
-            _blk_spec(Bp, T, 3 * Hp), _blk_spec(Bp, T, 3 * Hp),
+            _blk_spec(T, Bp, 3 * Hp), _blk_spec(T, Bp, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
         ],
-        out_specs=[_blk_spec(Bp, T, Hp), _blk_spec(Bp, T, Hp)],
-        out_shape=[jax.ShapeDtypeStruct((Bp, Lp, Hp), jnp.float32)] * 2,
+        out_specs=[_blk_spec(T, Bp, Hp), _blk_spec(T, Bp, Hp)],
+        out_shape=[jax.ShapeDtypeStruct((Lp, Bp, Hp), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((Bp, Hp), jnp.float32)] * 2,
         interpret=interpret,
     )(xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b)
-    ys_f, ys_b = ys_f[:, :L], ys_b[:, :L]
+    ys_f, ys_b = ys_f[:L], ys_b[:L]
     res = (xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, ys_f, ys_b)
     return (ys_f, ys_b), res
 
@@ -226,16 +234,16 @@ def _bigru_fwd(interpret, xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b):
 def _bigru_bwd(interpret, res, grads):
     xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, ys_f, ys_b = res
     dy_f, dy_b = grads
-    Bp, Lp, G3 = xg_f.shape            # xg is already time-padded
+    Lp, Bp, G3 = xg_f.shape            # xg is already time-padded
     Hp = G3 // 3
-    L = ys_f.shape[1]
+    L = ys_f.shape[0]
     T = _pick_T(L, Bp, Hp)
     nT = Lp // T
 
     # h_{s-1} as a plain shifted array: pad steps (s >= L) see zero
     # dy/xg/hprev, so the whole pad tail back-propagates exact zeros
     shift = lambda ys: _pad_time(
-        jnp.concatenate([jnp.zeros_like(ys[:, :1]), ys[:, :-1]], axis=1), Lp)
+        jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0), Lp)
     hprev_f, hprev_b = shift(ys_f), shift(ys_b)
     dy_f, dy_b = _pad_time(dy_f, Lp), _pad_time(dy_b, Lp)
 
@@ -244,20 +252,20 @@ def _bigru_bwd(interpret, res, grads):
         kernel,
         grid=(nT,),
         in_specs=[
-            _rev_blk_spec(Bp, T, 3 * Hp, nT), _rev_blk_spec(Bp, T, 3 * Hp, nT),
+            _rev_blk_spec(T, Bp, 3 * Hp, nT), _rev_blk_spec(T, Bp, 3 * Hp, nT),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
-            _rev_blk_spec(Bp, T, Hp, nT), _rev_blk_spec(Bp, T, Hp, nT),
-            _rev_blk_spec(Bp, T, Hp, nT), _rev_blk_spec(Bp, T, Hp, nT),
+            _rev_blk_spec(T, Bp, Hp, nT), _rev_blk_spec(T, Bp, Hp, nT),
+            _rev_blk_spec(T, Bp, Hp, nT), _rev_blk_spec(T, Bp, Hp, nT),
         ],
         out_specs=[
-            _rev_blk_spec(Bp, T, 3 * Hp, nT), _rev_blk_spec(Bp, T, 3 * Hp, nT),
+            _rev_blk_spec(T, Bp, 3 * Hp, nT), _rev_blk_spec(T, Bp, 3 * Hp, nT),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
             _const_spec(Hp, 3 * Hp), _const_spec(1, 3 * Hp),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, Lp, 3 * Hp), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, Lp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, 3 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, Bp, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * Hp), jnp.float32),
             jax.ShapeDtypeStruct((Hp, 3 * Hp), jnp.float32),
@@ -273,7 +281,7 @@ def _bigru_bwd(interpret, res, grads):
         ],
         interpret=interpret,
     )(xg_f, xg_b, whh_f, bhh_f, whh_b, bhh_b, hprev_f, hprev_b, dy_f, dy_b)
-    return dxg_f[:, :L], dxg_b[:, :L], dw_f, db_f, dw_b, db_b
+    return dxg_f[:L], dxg_b[:L], dw_f, db_f, dw_b, db_b
 
 
 _bigru_core.defvjp(_bigru_fwd, _bigru_bwd)
@@ -327,7 +335,7 @@ def fused_bigru_layer_packed(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
         xg = xg.astype(jnp.float32)
         if Bp != B:
             xg = jnp.pad(xg, ((0, Bp - B), (0, 0), (0, 0)))
-        return xg
+        return jnp.swapaxes(xg, 0, 1)                 # (L, Bp, 3Hp)
 
     def prep_w(w):
         w = _pack_gates(w.astype(jnp.float32), H, Hp, axis=1)
@@ -339,7 +347,8 @@ def fused_bigru_layer_packed(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
     ys_f, ys_b = _bigru_core(
         bool(interpret), prep_xg(xg_f), prep_xg(xg_b),
         prep_w(whh_f), prep_b(bhh_f), prep_w(whh_b), prep_b(bhh_b))
-    return ys_f[:B, :, :H], ys_b[:B, :, :H]
+    unpack = lambda ys: jnp.swapaxes(ys, 0, 1)[:B, :, :H]
+    return unpack(ys_f), unpack(ys_b)
 
 
 def fused_bigru_layer(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
