@@ -25,9 +25,10 @@ def _inputs(rng, B, L, H):
 
 
 @pytest.mark.parametrize("B,L,H", [
-    (5, 9, 100),     # unaligned everything (pads exercised)
+    (5, 9, 100),     # unaligned everything (B pad exercised; T=3 divides)
     (8, 4, 128),     # aligned
     (1, 1, 100),     # degenerate single-step
+    (4, 13, 100),    # prime L > 8: no divisor T, Lp=16 > L time-pad path
 ])
 def test_forward_matches_scan(rng, B, L, H):
     xg_f, xg_b, w_f, b_f, w_b, b_b = _inputs(rng, B, L, H)
