@@ -15,12 +15,22 @@ Gate math matches torch exactly (gate order r,z,n for GRU; i,f,g,o for LSTM;
 ``n = tanh(W_in x + b_in + r * (W_hn h + b_hn))``), verified against
 ``torch.nn.GRU/LSTM`` in tests/test_rnn.py.
 
-Padding: forward scans may run over trailing pads (their outputs are masked
-downstream and cannot influence valid positions).  Backward scans use
-:func:`mmdfn_tpu.utils.flip_valid` so they see valid frames first — unlike
-the reference, which feeds padded tensors to cuDNN and lets the backward
-direction consume pads (a batch-composition-dependent quirk we fix; outputs
-at valid positions are padding-invariant here, see tests).
+MASKED RECURRENCE (round 3): every recurrence is gated per (batch, time) —
+``h_t = where(m_t, cell(h_prev, x_t), h_prev)`` — with ``where`` (select),
+never multiplication, so masked frames are fully quarantined (a non-finite
+value there cannot poison valid rows through ``0*inf``).  This one
+primitive yields:
+
+* padding semantics: pads freeze the carry, so valid outputs are
+  padding-invariant by construction (unlike the reference, which feeds
+  padded tensors to cuDNN and lets the backward direction consume pads —
+  a batch-composition-dependent quirk we fix; DESIGN.md);
+* backward directions by PLAIN time reversal (``x[:, ::-1]``) instead of
+  the valid-first ``flip_valid`` permutation matmuls — gating makes plain
+  reversal correct for arbitrary masks, deleting one-hot ``(B, L, L)``
+  einsums (and their backwards) around every bidirectional layer;
+* the CRN speaker encoder with ZERO gather/scatter: see
+  :func:`crn_party_delta`.
 """
 
 from __future__ import annotations
@@ -32,7 +42,6 @@ import jax
 import jax.numpy as jnp
 
 from mmdfn_tpu.utils import torch_init
-from mmdfn_tpu.utils.masking import flip_valid
 
 
 def _gru_gates(xg_t: jnp.ndarray, hg: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
@@ -45,13 +54,22 @@ def _gru_gates(xg_t: jnp.ndarray, hg: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarra
     return (1.0 - z) * n + z * h
 
 
+def _scan_xs(xg, mask):
+    """Time-major (xg, gate) pair for a masked scan."""
+    m = jnp.swapaxes(mask, 0, 1)[..., None] > 0        # (L, B, 1)
+    return (jnp.swapaxes(xg, 0, 1), m)
+
+
 def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
-              h0: jnp.ndarray, remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the GRU hidden recurrence.
+              h0: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+              remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the (optionally masked) GRU hidden recurrence.
 
     Args:
       xg: (B, L, 3H) precomputed ``x @ W_ih + b_ih`` for all steps.
       w_hh: (H, 3H); b_hh: (3H,); h0: (B, H).
+      mask: (B, L) recurrence gate — the carry updates only where
+        ``mask > 0`` (None = every step).
       remat: checkpoint the step — the backward scan recomputes the gate
         math from the carried ``h`` and the input ``xg_t`` instead of
         reading ~6 per-step residual tensors back from HBM (the backward
@@ -60,44 +78,63 @@ def _gru_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
     Returns:
       (outputs (B, L, H), final hidden (B, H)).
     """
-
-    def step(h, xg_t):
-        h_new = _gru_gates(xg_t, h @ w_hh + b_hh, h)
-        return h_new, h_new
+    if mask is None:
+        def step(h, xg_t):
+            h_new = _gru_gates(xg_t, h @ w_hh + b_hh, h)
+            return h_new, h_new
+        xs = jnp.swapaxes(xg, 0, 1)
+    else:
+        def step(h, xs_t):
+            xg_t, m_t = xs_t
+            h_new = _gru_gates(xg_t, h @ w_hh + b_hh, h)
+            h_new = jnp.where(m_t, h_new, h)
+            return h_new, h_new
+        xs = _scan_xs(xg, mask)
 
     if remat:
         step = jax.checkpoint(step, prevent_cse=False)
-    h_last, ys = jax.lax.scan(step, h0, jnp.swapaxes(xg, 0, 1),
-                               unroll=8)
+    h_last, ys = jax.lax.scan(step, h0, xs, unroll=8)
     return jnp.swapaxes(ys, 0, 1), h_last
 
 
-def _gru_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+def _gru_scan_bidi(xg_f: jnp.ndarray, xg_b_rev: jnp.ndarray,
                    w_hh_f: jnp.ndarray, b_hh_f: jnp.ndarray,
                    w_hh_b: jnp.ndarray, b_hh_b: jnp.ndarray,
-                   h0: jnp.ndarray,
+                   h0: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                   mask_rev: Optional[jnp.ndarray] = None,
                    remat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Both GRU directions in ONE scan over time.
 
-    ``xg_b`` must already be time-flipped (valid-frames-first); the returned
-    backward stream is still flipped — the caller unflips.  The body keeps
-    the two recurrent matmuls *plain* ``(B, H) @ (H, 3H)`` — the earlier
-    direction-fusion attempt that packed them into a d=2 batched einsum
-    regressed 25% on MXU mapping (DESIGN.md) — so this variant only halves
-    the number of sequential scan steps (the measured latency ceiling), not
-    the per-step matmul shape.
+    ``xg_b_rev`` (and ``mask_rev``) must already be time-reversed; the
+    returned backward stream is still reversed — the caller un-reverses.
+    The body keeps the two recurrent matmuls *plain* ``(B, H) @ (H, 3H)`` —
+    the earlier direction-fusion attempt that packed them into a d=2
+    batched einsum regressed 25% on MXU mapping (DESIGN.md) — so this
+    variant only halves the number of sequential scan steps (the measured
+    latency ceiling), not the per-step matmul shape.
     """
+    gated = mask is not None
 
     def step(carry, xs):
         hf, hb = carry
-        xgf_t, xgb_t = xs
-        hf = _gru_gates(xgf_t, hf @ w_hh_f + b_hh_f, hf)
-        hb = _gru_gates(xgb_t, hb @ w_hh_b + b_hh_b, hb)
+        if gated:
+            xgf_t, mf_t, xgb_t, mb_t = xs
+            hf = jnp.where(mf_t, _gru_gates(xgf_t, hf @ w_hh_f + b_hh_f, hf),
+                           hf)
+            hb = jnp.where(mb_t, _gru_gates(xgb_t, hb @ w_hh_b + b_hh_b, hb),
+                           hb)
+        else:
+            xgf_t, xgb_t = xs
+            hf = _gru_gates(xgf_t, hf @ w_hh_f + b_hh_f, hf)
+            hb = _gru_gates(xgb_t, hb @ w_hh_b + b_hh_b, hb)
         return (hf, hb), (hf, hb)
 
     if remat:
         step = jax.checkpoint(step, prevent_cse=False)
-    xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b, 0, 1))
+    if gated:
+        xs = _scan_xs(xg_f, mask) + _scan_xs(xg_b_rev, mask_rev)
+    else:
+        xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b_rev, 0, 1))
     _, (ys_f, ys_b) = jax.lax.scan(step, (h0, h0), xs, unroll=8)
     return jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)
 
@@ -111,38 +148,63 @@ def _lstm_gates(g: jnp.ndarray, c: jnp.ndarray):
 
 
 def _lstm_scan(xg: jnp.ndarray, w_hh: jnp.ndarray, b_hh: jnp.ndarray,
-               h0: jnp.ndarray, c0: jnp.ndarray, remat: bool = False):
+               h0: jnp.ndarray, c0: jnp.ndarray,
+               mask: Optional[jnp.ndarray] = None, remat: bool = False):
     """LSTM hidden recurrence; xg is (B, L, 4H) precomputed input gates."""
-
-    def step(carry, xg_t):
-        h, c = carry
-        h_new, c_new = _lstm_gates(xg_t + h @ w_hh + b_hh, c)
-        return (h_new, c_new), h_new
+    if mask is None:
+        def step(carry, xg_t):
+            h, c = carry
+            h_new, c_new = _lstm_gates(xg_t + h @ w_hh + b_hh, c)
+            return (h_new, c_new), h_new
+        xs = jnp.swapaxes(xg, 0, 1)
+    else:
+        def step(carry, xs_t):
+            h, c = carry
+            xg_t, m_t = xs_t
+            h_new, c_new = _lstm_gates(xg_t + h @ w_hh + b_hh, c)
+            h_new = jnp.where(m_t, h_new, h)
+            c_new = jnp.where(m_t, c_new, c)
+            return (h_new, c_new), h_new
+        xs = _scan_xs(xg, mask)
 
     if remat:
         step = jax.checkpoint(step, prevent_cse=False)
-    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xg, 0, 1),
-                                        unroll=8)
+    (h_last, c_last), ys = jax.lax.scan(step, (h0, c0), xs, unroll=8)
     return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
 
 
-def _lstm_scan_bidi(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
+def _lstm_scan_bidi(xg_f: jnp.ndarray, xg_b_rev: jnp.ndarray,
                     w_hh_f: jnp.ndarray, b_hh_f: jnp.ndarray,
                     w_hh_b: jnp.ndarray, b_hh_b: jnp.ndarray,
-                    h0: jnp.ndarray, remat: bool = False):
+                    h0: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                    mask_rev: Optional[jnp.ndarray] = None,
+                    remat: bool = False):
     """Both LSTM directions in one scan (see ``_gru_scan_bidi``)."""
+    gated = mask is not None
 
     def step(carry, xs):
         (hf, cf), (hb, cb) = carry
-        xgf_t, xgb_t = xs
-        hf, cf = _lstm_gates(xgf_t + hf @ w_hh_f + b_hh_f, cf)
-        hb, cb = _lstm_gates(xgb_t + hb @ w_hh_b + b_hh_b, cb)
+        if gated:
+            xgf_t, mf_t, xgb_t, mb_t = xs
+            hf_n, cf_n = _lstm_gates(xgf_t + hf @ w_hh_f + b_hh_f, cf)
+            hf = jnp.where(mf_t, hf_n, hf)
+            cf = jnp.where(mf_t, cf_n, cf)
+            hb_n, cb_n = _lstm_gates(xgb_t + hb @ w_hh_b + b_hh_b, cb)
+            hb = jnp.where(mb_t, hb_n, hb)
+            cb = jnp.where(mb_t, cb_n, cb)
+        else:
+            xgf_t, xgb_t = xs
+            hf, cf = _lstm_gates(xgf_t + hf @ w_hh_f + b_hh_f, cf)
+            hb, cb = _lstm_gates(xgb_t + hb @ w_hh_b + b_hh_b, cb)
         return ((hf, cf), (hb, cb)), (hf, hb)
 
     if remat:
         step = jax.checkpoint(step, prevent_cse=False)
     zeros = jnp.zeros_like(h0)
-    xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b, 0, 1))
+    if gated:
+        xs = _scan_xs(xg_f, mask) + _scan_xs(xg_b_rev, mask_rev)
+    else:
+        xs = (jnp.swapaxes(xg_f, 0, 1), jnp.swapaxes(xg_b_rev, 0, 1))
     _, (ys_f, ys_b) = jax.lax.scan(
         step, ((h0, zeros), (h0, zeros)), xs, unroll=8)
     return jnp.swapaxes(ys_f, 0, 1), jnp.swapaxes(ys_b, 0, 1)
@@ -155,6 +217,13 @@ class BiRNN(nn.Module):
     bidirectional=True, dropout=p)`` encoders (``code/model.py:866-868``) but
     batch-first and mask-aware.  Inter-layer dropout follows torch: applied to
     every layer's output except the last, train-time only.
+
+    The recurrence is MASK-GATED (carry frozen where ``umask == 0``): valid
+    outputs are padding-invariant, and arbitrary (non-prefix) masks select a
+    subsequence — the CRN party encoder rides this (``crn_party_delta``).
+    The backward direction reads the same arrays reverse-time (in-kernel
+    for the pallas backend; plain ``[:, ::-1]`` for the scans) — the former
+    ``flip_valid`` permutation matmuls are gone.
     """
 
     hidden_size: int
@@ -177,10 +246,10 @@ class BiRNN(nn.Module):
                                           # residuals back from HBM
     backend: Optional[str] = None         # 'pallas': run each bidirectional
                                           # GRU layer's recurrence as ONE
-                                          # fused Pallas kernel (fwd + custom
-                                          # bwd, ops/pallas_rnn.py); falls
-                                          # back to the scans for LSTM /
-                                          # unidirectional.  The kernel is
+                                          # fused masked Pallas kernel (fwd +
+                                          # custom bwd, ops/pallas_rnn.py);
+                                          # falls back to the scans for LSTM
+                                          # / unidirectional.  The kernel is
                                           # f32 internally (compute_dtype
                                           # only affects the XLA projections
                                           # around it); scan_remat is moot
@@ -199,9 +268,9 @@ class BiRNN(nn.Module):
         directions = ("fwd", "bwd") if self.bidirectional else ("fwd",)
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         out_dtype = x.dtype
-
-        def flip(z):
-            return flip_valid(z, umask) if umask is not None else z[:, ::-1]
+        mask = umask
+        mask_rev = mask[:, ::-1] if mask is not None else None
+        rev = lambda z: z[:, ::-1]
 
         out = x if cd is None else x.astype(cd)
         for layer in range(self.num_layers):
@@ -232,40 +301,41 @@ class BiRNN(nn.Module):
                 wp_f, bp_f = pack_gate_weights(w_ih_f, b_ih_f, H)
                 wp_b, bp_b = pack_gate_weights(w_ih_b, b_ih_b, H)
                 xg_f = out @ wp_f + bp_f
-                xg_b = flip(out) @ wp_b + bp_b
+                xg_b = out @ wp_b + bp_b
                 # interpret off-TPU (CI runs the kernel on the CPU
                 # interpreter; same auto-resolution caveat as GCNIIStack's
                 # scan_unroll — trace-time process-default backend)
                 interp = jax.default_backend() not in ("tpu", "axon")
                 ys_f, ys_b = fused_bigru_layer_packed(
-                    xg_f, xg_b, w_hh_f, b_hh_f, w_hh_b, b_hh_b, H,
+                    xg_f, xg_b, w_hh_f, b_hh_f, w_hh_b, b_hh_b, H, mask,
                     interpret=interp)
-                feats = [ys_f.astype(out.dtype),
-                         flip(ys_b.astype(out.dtype))]
+                feats = [ys_f.astype(out.dtype), ys_b.astype(out.dtype)]
             elif self.fuse_directions and self.bidirectional:
                 w_ih_f, w_hh_f, b_ih_f, b_hh_f = params["fwd"]
                 w_ih_b, w_hh_b, b_ih_b, b_hh_b = params["bwd"]
                 xg_f = out @ w_ih_f + b_ih_f
-                xg_b = flip(out) @ w_ih_b + b_ih_b
+                xg_b_rev = rev(out) @ w_ih_b + b_ih_b
                 bidi = _gru_scan_bidi if self.cell == "gru" else _lstm_scan_bidi
-                ys_f, ys_b = bidi(xg_f, xg_b, w_hh_f, b_hh_f,
-                                  w_hh_b, b_hh_b, h0,
-                                  remat=self.scan_remat)
-                feats = [ys_f, flip(ys_b)]
+                ys_f, ys_b_rev = bidi(xg_f, xg_b_rev, w_hh_f, b_hh_f,
+                                      w_hh_b, b_hh_b, h0,
+                                      mask=mask, mask_rev=mask_rev,
+                                      remat=self.scan_remat)
+                feats = [ys_f, rev(ys_b_rev)]
             else:
                 feats = []
                 for d in directions:
                     w_ih, w_hh, b_ih, b_hh = params[d]
-                    inp = flip(out) if d == "bwd" else out
+                    inp = rev(out) if d == "bwd" else out
+                    m = (mask_rev if d == "bwd" else mask)
                     xg = inp @ w_ih + b_ih
                     if self.cell == "gru":
-                        ys, _ = scan(xg, w_hh, b_hh, h0,
+                        ys, _ = scan(xg, w_hh, b_hh, h0, mask=m,
                                      remat=self.scan_remat)
                     else:
                         ys, _ = scan(xg, w_hh, b_hh, h0, jnp.zeros_like(h0),
-                                     remat=self.scan_remat)
+                                     mask=m, remat=self.scan_remat)
                     if d == "bwd":
-                        ys = flip(ys)
+                        ys = rev(ys)
                     feats.append(ys)
             out = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
             if self.dropout > 0 and layer < self.num_layers - 1:
@@ -331,20 +401,28 @@ class LSTMCellStep(nn.Module):
 
 def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
                     umask: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-    """Contextual-reasoning (CRN) speaker encoder, fully vectorized.
+    """Contextual-reasoning (CRN) speaker encoder via masked recurrence.
 
     The reference gathers each speaker's utterances into a left-packed
     sub-sequence with nested python loops over batch x party
     (``code/model.py:1040-1060`` and three near-copies at 1070-1154), runs a
     shared party GRU, and scatters outputs back to utterance positions.
 
-    TPU-native formulation: the gather is a stable argsort permutation
-    (sort key = time for this party's utterances, time+L otherwise), the
-    scatter is the inverse permutation, and all parties run through the
-    shared RNN as one fused batch of size B*P.
+    TPU-native formulation (round 3): no gather/scatter at all.  The shared
+    RNN's recurrence is MASK-GATED (``BiRNN``: carry frozen at masked
+    frames), so running it over the raw sequence gated by "is party p's
+    frame" visits exactly that party's frames in time order — the carry
+    evolution, and therefore every output at those frames, is bit-identical
+    to left-packing the frames, running, and scattering back (oracle test:
+    ``test_crn_party_delta_matches_loop_oracle``).  All B*P (batch, party)
+    streams run as one fused RNN batch.  This replaced an earlier one-hot
+    permutation-matmul formulation (round 2) — gating deletes the
+    ``(B, P, L, L)`` permutation build, its two einsum applications, and
+    their backwards from the step entirely.
 
     Args:
-      rnn: shared party RNN (reference ``rnn_parties``, ``model.py:868``).
+      rnn: shared party RNN (reference ``rnn_parties``, ``model.py:868``),
+        mask-gated (``BiRNN`` or anything with the same contract).
       x: (B, L, D) projected utterance features.
       qmask: (B, L, P) speaker one-hots (zero rows at pads).
       umask: (B, L) validity mask.
@@ -353,61 +431,16 @@ def crn_party_delta(rnn: nn.Module, x: jnp.ndarray, qmask: jnp.ndarray,
       utterance has no speaker / is padding).
     """
     B, L, P = qmask.shape
-    t = jnp.arange(L)[None, None, :]
     is_p = jnp.transpose(qmask, (0, 2, 1)) > 0            # (B, P, L)
     is_p = jnp.logical_and(is_p, umask[:, None, :] > 0)
-    counts = jnp.sum(is_p, axis=-1)                        # (B, P)
 
-    valid = (jnp.arange(L)[None, None, :] < counts[..., None])  # (B, P, L)
-    use_matmul = L <= 128 and P <= 4
-    if use_matmul:
-        # Apply the permutation and its inverse as ONE-HOT MATMULS, not
-        # gathers: each output row selects exactly one input row, so the
-        # einsum sums a single 1.0*value term — bit-exact under
-        # Precision.HIGHEST — while mapping onto the MXU instead of
-        # HBM-bound gather/scatter (the gather pair + inverse argsort
-        # measured ~0.8 ms/step of the 11 ms flagship step; the backward of
-        # a matmul is a matmul, not a scatter-add).  Pads of x are zeroed
-        # first so a non-finite value parked in a pad frame cannot poison
-        # valid rows through 0*inf (valid gathered slots only ever read
-        # party frames, which are valid — zeroing pads changes nothing).
-        # Gated to small (P, L): the (B, P, L, L) matrix grows
-        # quadratically and was only measured a win at flagship shapes.
-        x_clean = jnp.where(umask[..., None] > 0, x, 0.0)   # select, not
-                                                            # multiply: 0*inf
-                                                            # would NaN here
-        # destination slot of frame m: its time-rank among this party's
-        # frames if it IS one, else counts + its rank among the rest —
-        # exactly the stable argsort of (t if is_p else t+L) that the
-        # gather path uses, but via two cumsums + a broadcast compare
-        # instead of a sort network (~0.13 ms/step of the flagship profile)
-        cs_p = jnp.cumsum(is_p, axis=-1)                   # (B, P, L)
-        cs_n = jnp.cumsum(jnp.logical_not(is_p), axis=-1)
-        slot = jnp.where(is_p, cs_p - 1, counts[..., None] + cs_n - 1)
-        onehot = (slot[..., None, :] ==
-                  jnp.arange(L)[:, None]).astype(x.dtype)  # (B, P, L, L)
-        hi = jax.lax.Precision.HIGHEST
-        gathered = jnp.einsum("bplm,bmd->bpld", onehot, x_clean, precision=hi)
-        gathered = gathered * valid[..., None]
-    else:
-        key = jnp.where(is_p, t, t + L)                    # (B, P, L)
-        perm = jnp.argsort(key, axis=-1)                   # party frames first
-        xb = jnp.broadcast_to(x[:, None], (B, P, L, x.shape[-1]))
-        gathered = jnp.take_along_axis(xb, perm[..., None], axis=2)
-        gathered = gathered * valid[..., None]
-
-    flat = gathered.reshape(B * P, L, x.shape[-1])
-    flat_mask = valid.reshape(B * P, L).astype(x.dtype)
+    flat = jnp.broadcast_to(x[:, None], (B, P, L, x.shape[-1]))
+    flat = flat.reshape(B * P, L, x.shape[-1])
+    flat_mask = is_p.reshape(B * P, L).astype(x.dtype)
     E = rnn(flat, flat_mask, deterministic=deterministic)  # (B*P, L, D_out)
     E = E.reshape(B, P, L, -1)
 
-    if use_matmul:
-        # inverse permutation: transpose the same one-hot matrix (row m
-        # carries perm[m] -> position l), so no second argsort is needed
-        back = jnp.einsum("bpml,bpmd->bpld", onehot, E,
-                          precision=jax.lax.Precision.HIGHEST)
-    else:
-        inv = jnp.argsort(perm, axis=-1)
-        back = jnp.take_along_axis(E, inv[..., None], axis=2)
-    back = back * is_p[..., None]
-    return jnp.sum(back, axis=1)
+    # outputs only claim each party's own frames (select, not multiply:
+    # masked frames output carried state, and a non-finite parked in ANY
+    # masked frame must stay quarantined — 0*inf would NaN here)
+    return jnp.sum(jnp.where(is_p[..., None], E, 0.0), axis=1)

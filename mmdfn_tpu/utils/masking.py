@@ -70,8 +70,9 @@ def flip_valid(x, umask):
         # across the one-hot), where the gather only contaminated rows that
         # read it — accepted: a valid-frame non-finite was already fatal
         # either way (it enters the RNN carry and the loss); this path just
-        # fails batch-wide instead of row-wise.  Same applies to
-        # crn_party_delta's one-hot path (nn/rnn.py).
+        # fails batch-wide instead of row-wise.  (Round 3: only the
+        # DialogueRNN baselines still route through here — the encoder
+        # BiRNN/CRN paths use mask-gated recurrences with no flips at all.)
         valid = (t < lengths[:, None])                        # (B, L)
         flat = x.reshape(B, L, -1)
         flat = jnp.where(valid[..., None], flat, 0.0)

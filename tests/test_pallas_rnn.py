@@ -1,10 +1,12 @@
-"""Parity tests for the fused Pallas bi-GRU kernel (ops/pallas_rnn.py).
+"""Parity tests for the fused masked Pallas bi-GRU kernel (ops/pallas_rnn.py).
 
 Run in interpreter mode on CPU (same convention as test_pallas_gcnii).
 The oracle is the XLA scan path (nn/rnn.py) that is itself torch-oracled in
-test_rnn.py — forward values AND all six gradients (xg x2, W_hh x2,
-b_hh x2) must agree, plus the full BiRNN module and flagship model must be
-indistinguishable between backends.
+test_rnn.py — forward values AND all gradients (xg x2, W_hh x2, b_hh x2)
+must agree, plus the full BiRNN module and flagship model must be
+indistinguishable between backends.  Both the kernel and the scans use
+masked-recurrence semantics (carry frozen where mask==0); the backward
+direction walks the same arrays in reverse time (no pre-flipped inputs).
 """
 
 import numpy as np
@@ -24,18 +26,44 @@ def _inputs(rng, B, L, H):
             f(H, 3 * H) * 0.3, f(3 * H) * 0.3)
 
 
+def _scan_oracle(xg_f, xg_b, w_f, b_f, w_b, b_b, mask):
+    """Masked-scan reference: fwd direction forward-time, bwd direction =
+    reverse -> gated scan -> reverse (identical semantics to the kernel's
+    in-place reverse walk)."""
+    B, _, G3 = xg_f.shape
+    h0 = jnp.zeros((B, G3 // 3))
+    ys_f, _ = _gru_scan(xg_f, w_f, b_f, h0, mask=mask)
+    rev = lambda z: z[:, ::-1]
+    m_rev = rev(mask) if mask is not None else None
+    ys_b_rev, _ = _gru_scan(rev(xg_b), w_b, b_b, h0, mask=m_rev)
+    return ys_f, rev(ys_b_rev)
+
+
+def _mask(rng, B, L, kind):
+    if kind == "none":
+        return None
+    if kind == "prefix":
+        lengths = rng.integers(1, L + 1, B)
+        return jnp.asarray((np.arange(L)[None, :] < lengths[:, None])
+                           .astype(np.float32))
+    # arbitrary subset (the CRN party-gating case), at least one valid frame
+    m = (rng.random((B, L)) < 0.6)
+    m[:, 0] = True
+    return jnp.asarray(m.astype(np.float32))
+
+
+@pytest.mark.parametrize("mask_kind", ["none", "prefix", "subset"])
 @pytest.mark.parametrize("B,L,H", [
     (5, 9, 100),     # unaligned everything (B pad exercised; T=3 divides)
     (8, 4, 128),     # aligned
     (1, 1, 100),     # degenerate single-step
     (4, 13, 100),    # prime L > 8: no divisor T, Lp=16 > L time-pad path
 ])
-def test_forward_matches_scan(rng, B, L, H):
+def test_forward_matches_scan(rng, B, L, H, mask_kind):
     xg_f, xg_b, w_f, b_f, w_b, b_b = _inputs(rng, B, L, H)
-    h0 = jnp.zeros((B, H))
-    ref_f, _ = _gru_scan(xg_f, w_f, b_f, h0)
-    ref_b, _ = _gru_scan(xg_b, w_b, b_b, h0)
-    ys_f, ys_b = fused_bigru_layer(xg_f, xg_b, w_f, b_f, w_b, b_b,
+    mask = _mask(rng, B, L, mask_kind)
+    ref_f, ref_b = _scan_oracle(xg_f, xg_b, w_f, b_f, w_b, b_b, mask)
+    ys_f, ys_b = fused_bigru_layer(xg_f, xg_b, w_f, b_f, w_b, b_b, mask,
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ref_f),
                                atol=2e-6)
@@ -43,19 +71,18 @@ def test_forward_matches_scan(rng, B, L, H):
                                atol=2e-6)
 
 
-def test_gradients_match_scan(rng):
+@pytest.mark.parametrize("mask_kind", ["none", "prefix", "subset"])
+def test_gradients_match_scan(rng, mask_kind):
     B, L, H = 4, 7, 100
     args = _inputs(rng, B, L, H)
-    h0 = jnp.zeros((B, H))
+    mask = _mask(rng, B, L, mask_kind)
 
     def loss_fused(a):
-        yf, yb = fused_bigru_layer(*a, interpret=True)
+        yf, yb = fused_bigru_layer(*a, mask, interpret=True)
         return jnp.sum(jnp.sin(yf) * 1.3 + jnp.cos(yb))
 
     def loss_ref(a):
-        xgf, xgb, wf, bf, wb, bb = a
-        yf, _ = _gru_scan(xgf, wf, bf, h0)
-        yb, _ = _gru_scan(xgb, wb, bb, h0)
+        yf, yb = _scan_oracle(*a, mask)
         return jnp.sum(jnp.sin(yf) * 1.3 + jnp.cos(yb))
 
     g1 = jax.grad(loss_fused)(args)
@@ -66,9 +93,39 @@ def test_gradients_match_scan(rng):
                                    err_msg=f"grad mismatch for {name}")
 
 
+def test_masked_frames_quarantined(rng):
+    """Non-finite xg values in masked frames must not reach valid outputs
+    or any gradient (where-select gating, forward AND backward)."""
+    B, L, H = 3, 8, 100
+    args = list(_inputs(rng, B, L, H))
+    mask = _mask(rng, B, L, "subset")
+    poisoned = np.array(args[0])
+    poisoned[np.asarray(mask) == 0] = np.inf
+    args_p = list(args)
+    args_p[0] = jnp.asarray(poisoned)
+    poisoned_b = np.array(args[1])
+    poisoned_b[np.asarray(mask) == 0] = np.nan
+    args_p[1] = jnp.asarray(poisoned_b)
+
+    def loss(a):
+        yf, yb = fused_bigru_layer(*a, mask, interpret=True)
+        sel = mask[..., None]
+        return jnp.sum(jnp.where(sel > 0, yf + yb, 0.0))
+
+    clean_l, clean_g = jax.value_and_grad(lambda a: loss(a))(tuple(args))
+    pois_l, pois_g = jax.value_and_grad(lambda a: loss(a))(tuple(args_p))
+    assert np.isfinite(float(pois_l))
+    np.testing.assert_allclose(float(pois_l), float(clean_l), rtol=1e-6)
+    for a, b in zip(pois_g, clean_g):
+        assert np.isfinite(np.asarray(a)).all()
+        # weight/bias grads must agree; xg grads agree at valid frames and
+        # are exact zeros at masked frames in both runs
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_birnn_backend_parity(rng):
     """Full 2-layer BiRNN module: pallas backend == scan backend, on a
-    genuinely padded batch (flip_valid integration)."""
+    genuinely padded batch."""
     B, L, D, H = 3, 11, 20, 100
     lengths = np.array([11, 6, 1])
     umask = (np.arange(L)[None, :] < lengths[:, None]).astype(np.float32)
