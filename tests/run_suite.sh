@@ -12,7 +12,7 @@ chunks=(
   "tests/test_adjacency.py tests/test_gcn.py tests/test_losses.py tests/test_metrics.py tests/test_data.py tests/test_native_packer.py tests/test_fusion.py"
   "tests/test_rnn.py tests/test_relation_attention.py tests/test_relation_net.py tests/test_gated_attention.py tests/test_baselines.py tests/test_pallas_gcnii.py tests/test_pallas_gcnii_train.py tests/test_pallas_rnn.py"
   "tests/test_dialogue_gnn.py tests/test_all_graph_types_train.py tests/test_daily.py tests/test_daily_trainer.py tests/test_frontends.py tests/test_raw_input.py"
-  "tests/test_e2e_torch_parity.py tests/test_train_parity.py tests/test_reference_oracle.py tests/test_attention_oracle.py"
+  "tests/test_e2e_torch_parity.py tests/test_train_parity.py tests/test_reference_oracle.py tests/test_attention_oracle.py tests/test_import_torch_checkpoint.py"
   "tests/test_trainer.py tests/test_cli.py tests/test_vmap_sweep.py tests/test_graph_parallel.py tests/test_resume_serve.py tests/test_streaming.py tests/test_profiling.py"
 )
 

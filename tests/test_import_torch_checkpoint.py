@@ -1,0 +1,93 @@
+"""Round-trip test for the reference-checkpoint importer (mmdfn_tpu.tools).
+
+Builds the REAL reference ``DialogueGNNModel`` (its own torch init — weights
+the build has never seen), imports its state_dict with
+``state_dict_to_params``, and asserts forward agreement between the
+reference and our model on the imported weights — the exact migration a
+reference user performs.  Uses the same exactness setup as
+test_reference_oracle.py (full-length single-speaker dialogues, where the
+documented RNN-padding deviation vanishes).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mmdfn_tpu.tools import state_dict_to_params
+from test_reference_oracle import (  # noqa: E402 (rootdir test import)
+    build_ours,
+    build_reference_model,
+    make_exact_batch,
+    reference_forward,
+)
+
+
+def test_imported_reference_weights_reproduce_forward(rng):
+    B, L, NL = 3, 7, 4
+    torch.manual_seed(7)
+    ref = build_reference_model(NL, dropout=0.3)
+    ref.eval()
+
+    batch = make_exact_batch(rng, B, L)
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    ours_model = build_ours(NL, dropout=0.3)
+    template = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    params = state_dict_to_params(ref.state_dict(), template["params"])
+    ours = np.asarray(ours_model.apply(
+        {"params": params}, jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True))
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nimported-weights forward diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+def test_import_rejects_mismatched_architecture(rng):
+    torch.manual_seed(7)
+    ref = build_reference_model(4, dropout=0.3)
+    batch = make_exact_batch(rng, 2, 5)
+    ours_model = build_ours(8, dropout=0.3)        # nlayers mismatch
+    template = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    with pytest.raises(KeyError):
+        state_dict_to_params(ref.state_dict(), template["params"])
+
+
+def test_import_reference_checkpoint_torch_save_roundtrip(rng, tmp_path):
+    """The reference's actual checkpoint format: torch.save of the whole
+    module (run_train_erc.py:532) -> import_reference_checkpoint -> params
+    identical to the direct state_dict import."""
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.tools import import_reference_checkpoint
+
+    NL = 2
+    torch.manual_seed(3)
+    ref = build_reference_model(NL, dropout=0.4)
+    path = str(tmp_path / "reference_model.pkl")
+    torch.save(ref, path)
+
+    cfg = ExperimentConfig(
+        dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
+        Deep_GCN_nlayers=NL, speaker_weights="3-0-1")
+    state = import_reference_checkpoint(path, cfg)
+
+    direct = state_dict_to_params(
+        ref.state_dict(),
+        jax.tree_util.tree_map(np.asarray, state.params))
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
