@@ -42,11 +42,9 @@ from mmdfn_tpu.models import DialogueGNN
 
 REF = "/root/reference/code"
 
-# reference fixed dims for IEMOCAP (run_train_erc.py:359-362,387-392)
-D_TEXT, D_AUDIO, D_VISUAL = 100, 1582, 342
+# reference fixed model dims (run_train_erc.py:387-392)
 D_G, D_P, D_E, D_H, D_A, GRAPH_H = 150, 150, 100, 100, 100, 100
 ALPHA, LAMDA = 0.2, 0.5            # CLI defaults (run_train_erc.py:308,310)
-SW = "3-0-1"                       # run_train_ie.sh:24
 
 
 def load_reference():
@@ -129,23 +127,34 @@ DEAD_PREFIXES = (
 )
 
 
-def build_reference_model(nlayers, dropout, reason_flag=True, n_speakers=2,
-                          n_classes=6):
+# per-dataset flagship dims (feat2dim, run_train_erc.py:359-414) + the
+# sweep scripts' speaker weights (run_train_ie.sh:24 / run_train_me.sh:25)
+DATASETS = dict(
+    IEMOCAP=dict(d_text=100, d_audio=1582, d_visual=342,
+                 n_speakers=2, n_classes=6, sw="3-0-1"),
+    MELD=dict(d_text=600, d_audio=300, d_visual=342,
+              n_speakers=9, n_classes=7, sw="0.5-0.5-1.5"),
+)
+
+
+def build_reference_model(nlayers, dropout, reason_flag=True,
+                          dataset="IEMOCAP"):
     """The real DialogueGNNModel with the flagship flag assembly
     (run_train_erc.py:416-452 + run_train_ie.sh flags)."""
     ref_model, _ = load_reference()
+    d = DATASETS[dataset]
     return ref_model.DialogueGNNModel(
-        "LSTM", D_TEXT, D_G, D_P, D_E, D_H, D_A, GRAPH_H,
-        n_speakers=n_speakers, max_seq_len=200, window_past=10,
-        window_future=10, n_classes=n_classes, listener_state=False,
+        "LSTM", d["d_text"], D_G, D_P, D_E, D_H, D_A, GRAPH_H,
+        n_speakers=d["n_speakers"], max_seq_len=200, window_past=10,
+        window_future=10, n_classes=d["n_classes"], listener_state=False,
         context_attention="general", dropout=dropout, nodal_attention=True,
         no_cuda=True, graph_type="GDF", use_topic=False, alpha=ALPHA,
         lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
-        use_residue=True, D_m_v=D_VISUAL, D_m_a=D_AUDIO, modals="avl",
-        att_type="concat_subsequently", av_using_lstm=False,
-        Deep_GCN_nlayers=nlayers, dataset="IEMOCAP", use_speaker=False,
+        use_residue=True, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
+        modals="avl", att_type="concat_subsequently", av_using_lstm=False,
+        Deep_GCN_nlayers=nlayers, dataset=dataset, use_speaker=False,
         use_modal=False, reason_flag=reason_flag, multi_modal=True,
-        use_crn_speaker=True, speaker_weights=SW, modal_weight=1.0)
+        use_crn_speaker=True, speaker_weights=d["sw"], modal_weight=1.0)
 
 
 def _gru_entries(sd, torch_name, p):
@@ -197,16 +206,17 @@ def load_ours_into_reference(ref, params):
     assert not stray, f"live reference params not covered by ours: {stray}"
 
 
-def make_exact_batch(rng, B, L, n_speakers=2, n_classes=6):
+def make_exact_batch(rng, B, L, dataset="IEMOCAP"):
     """Full-length dialogues, one speaker per dialogue (see module doc)."""
+    d = DATASETS[dataset]
     umask = np.ones((B, L), np.float32)
-    qmask = np.zeros((B, L, n_speakers), np.float32)
+    qmask = np.zeros((B, L, d["n_speakers"]), np.float32)
     for b in range(B):
-        qmask[b, :, b % n_speakers] = 1.0
-    text = rng.standard_normal((B, L, D_TEXT)).astype(np.float32)
-    audio = rng.standard_normal((B, L, D_AUDIO)).astype(np.float32)
-    visual = rng.standard_normal((B, L, D_VISUAL)).astype(np.float32)
-    label = rng.integers(0, n_classes, size=(B, L)).astype(np.int32)
+        qmask[b, :, b % d["n_speakers"]] = 1.0
+    text = rng.standard_normal((B, L, d["d_text"])).astype(np.float32)
+    audio = rng.standard_normal((B, L, d["d_audio"])).astype(np.float32)
+    visual = rng.standard_normal((B, L, d["d_visual"])).astype(np.float32)
+    label = rng.integers(0, d["n_classes"], size=(B, L)).astype(np.int32)
     return dict(text=text, audio=audio, visual=visual, qmask=qmask,
                 umask=umask, label=label)
 
@@ -222,23 +232,32 @@ def reference_forward(ref, batch):
                tt(batch["audio"]), tt(batch["visual"]))[0]
 
 
-def build_ours(nlayers, dropout, n_speakers=2, n_classes=6):
+def build_ours(nlayers, dropout, dataset="IEMOCAP"):
+    d = DATASETS[dataset]
     return DialogueGNN(
-        base_model="LSTM", D_m=D_TEXT, D_m_a=D_AUDIO, D_m_v=D_VISUAL,
-        n_speakers=n_speakers, n_classes=n_classes, dropout=dropout,
+        base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
+        D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
+        n_classes=d["n_classes"], dropout=dropout,
         graph_type="GDF", reason_flag=True, deep_gcn_nlayers=nlayers,
-        use_crn_speaker=True, speaker_weights=SW, alpha=ALPHA, lamda=LAMDA)
+        use_crn_speaker=True, speaker_weights=d["sw"], alpha=ALPHA,
+        lamda=LAMDA)
 
 
-@pytest.mark.parametrize("nlayers,atol", [
-    (2, 1e-4),
-    (16, 1e-4),     # the production depth (run_train_ie.sh:19, bench.py);
-                    # measured max diff 1.7e-6 — tolerance leaves ~50x slack
+@pytest.mark.parametrize("dataset,nlayers,atol", [
+    ("IEMOCAP", 2, 1e-4),
+    ("IEMOCAP", 16, 1e-4),  # the production depth (run_train_ie.sh:19,
+                            # bench.py); measured max diff 1.7e-6 —
+                            # tolerance leaves ~50x slack
+    ("MELD", 4, 1e-4),      # 9-speaker CRN + 7 classes + MELD dims +
+                            # 0.5-0.5-1.5 speaker weights
+                            # (run_train_me.sh:20-52)
 ])
-def test_forward_matches_real_reference(rng, nlayers, atol):
+def test_forward_matches_real_reference(rng, dataset, nlayers, atol):
     B, L = 3, 7
-    batch = make_exact_batch(rng, B, L)
-    ours_model = build_ours(nlayers, dropout=0.4)
+    if dataset == "MELD":
+        B = 10          # cover all 9 speakers (dialogue b -> speaker b % P)
+    batch = make_exact_batch(rng, B, L, dataset=dataset)
+    ours_model = build_ours(nlayers, dropout=0.4, dataset=dataset)
     variables = ours_model.init(
         jax.random.PRNGKey(0), jnp.array(batch["text"]),
         jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
@@ -249,7 +268,7 @@ def test_forward_matches_real_reference(rng, nlayers, atol):
         jnp.array(batch["umask"]), jnp.array(batch["audio"]),
         jnp.array(batch["visual"]), deterministic=True))
 
-    ref = build_reference_model(nlayers, dropout=0.4)
+    ref = build_reference_model(nlayers, dropout=0.4, dataset=dataset)
     load_ours_into_reference(ref, variables["params"])
     ref.eval()
     with torch.no_grad():
@@ -280,7 +299,8 @@ def test_training_trajectory_matches_real_reference(rng):
     cfg = ExperimentConfig(
         dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
         Deep_GCN_nlayers=NL, dropout=0.0, lr=LR, l2=L2, gamma=GAMMA,
-        class_weight=False, batch_size=B, buckets=(L,), speaker_weights=SW)
+        class_weight=False, batch_size=B, buckets=(L,),
+        speaker_weights=DATASETS["IEMOCAP"]["sw"])
     trainer = Trainer(cfg)
     state = trainer.init_state()
 
