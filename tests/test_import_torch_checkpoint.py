@@ -91,3 +91,41 @@ def test_import_reference_checkpoint_torch_save_roundtrip(rng, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(direct)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_import_gf_variant_without_reason_lstm(rng):
+    """graph_type='GF' (MMGCN: reason_flag=False): the reference still
+    allocates the reason-LSTM (model_GCN.py:433) but never runs it — the
+    importer must skip those keys and still cover every live weight."""
+    from mmdfn_tpu.models import DialogueGNN
+    from test_reference_oracle import ALPHA, LAMDA, DATASETS
+
+    B, L, NL = 3, 6, 2
+    torch.manual_seed(9)
+    ref = build_reference_model(NL, dropout=0.2, reason_flag=False)
+    ref.eval()
+    batch = make_exact_batch(rng, B, L)
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    d = DATASETS["IEMOCAP"]
+    ours_model = DialogueGNN(
+        base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
+        D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
+        n_classes=d["n_classes"], dropout=0.2, graph_type="GF",
+        reason_flag=False, deep_gcn_nlayers=NL, use_crn_speaker=True,
+        speaker_weights=d["sw"], alpha=ALPHA, lamda=LAMDA)
+    template = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    params = state_dict_to_params(ref.state_dict(), template["params"])
+    ours = np.asarray(ours_model.apply(
+        {"params": params}, jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True))
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nGF imported-weights forward diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
