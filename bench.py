@@ -159,7 +159,7 @@ def main():
     dt = best_dt if best_dt > blocked_dt / 8 else blocked_dt
     dps = BATCH / dt
     # blocked_dps (tunnel-round-trip-inclusive median) and window_spread
-    # (max/min over the 3 pipelined windows) expose run-to-run variance so
+    # (max/min over the 5 pipelined windows) expose run-to-run variance so
     # round-over-round regressions under the noise floor stay visible
     # vs_baseline divides a bf16-scan TPU run by the f32 eager-torch CPU
     # baseline (the config string says so); baseline date-stamped above

@@ -103,6 +103,23 @@ def main():
     pos = np.asarray(refd) > 1e-6
     frac = float(((np.asarray(one) == 0.0) & pos).sum() / max(pos.sum(), 1))
 
+    # fwd/bwd PRNG-mask agreement (hardware-only): with LIVE dropout the
+    # backward kernel re-seeds and regenerates the keep mask — a drift in
+    # either kernel's (seed, b, l) derivation would silently corrupt every
+    # production gradient.  A central finite difference along a fixed
+    # direction must match <grad, v>: both sides evaluate the SAME
+    # deterministic masks, so agreement proves the bwd regenerated exactly
+    # the fwd's draws.
+    he2, v = he[:2], f32(2, N, H)
+    loss_d = lambda x: jnp.sum(jnp.sin(gcnii_stack_train(
+        adj[:2], x, h0[:2], W, theta, lih, lhh, lb,
+        alpha=ALPHA, reason=True, rate=0.4, seed=11)))
+    g = jax.grad(loss_d)(he2)
+    eps = 1e-3
+    fd = float((loss_d(he2 + eps * v) - loss_d(he2 - eps * v)) / (2 * eps))
+    dot = float(jnp.sum(g * v))
+    fd_rel = abs(fd - dot) / max(abs(fd), 1e-6)
+
     # ---- fwd+bwd timing, chained, R in-jit reps ---------------------
     def chain(stack_fn):
         def loss(x):
@@ -129,6 +146,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "dropout_deterministic": det, "dropout_seed_sensitive": sens,
         "drop_fraction_at_0.5": round(frac, 4),
+        "dropout_fwdbwd_mask_agreement_fd_rel": round(fd_rel, 6),
         "fwdbwd_scan_ms": round(t_scan * 1e3, 3),
         "fwdbwd_pallas_ms": round(t_pal * 1e3, 3),
         "speedup": round(t_scan / t_pal, 2),

@@ -23,6 +23,7 @@ import numpy as np
 
 from mmdfn_tpu.nn.linear import TorchDense
 from mmdfn_tpu.utils import torch_init
+from mmdfn_tpu.ops._util import on_tpu
 
 
 def gcnii_conv(h: jnp.ndarray, adj: jnp.ndarray, h0: jnp.ndarray,
@@ -162,7 +163,7 @@ class GCNIIStack(nn.Module):
             lb_hh = self.param("reason_b_hh", init, (4 * H,))
 
         out_dtype = h.dtype
-        interp = jax.default_backend() not in ("tpu", "axon")
+        interp = not on_tpu()
         if (self.backend == "pallas" and self.variant
                 and self.dropout_mode == "after" and self.spmm is None
                 and not self.post_loop_dropout and self.nlayers <= 32

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from mmdfn_tpu.utils import torch_init
+from mmdfn_tpu.ops._util import on_tpu
 
 
 def _gru_gates(xg_t: jnp.ndarray, hg: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
@@ -305,7 +306,7 @@ class BiRNN(nn.Module):
                 # interpret off-TPU (CI runs the kernel on the CPU
                 # interpreter; same auto-resolution caveat as GCNIIStack's
                 # scan_unroll — trace-time process-default backend)
-                interp = jax.default_backend() not in ("tpu", "axon")
+                interp = not on_tpu()
                 ys_f, ys_b = fused_bigru_layer_packed(
                     xg_f, xg_b, w_hh_f, b_hh_f, w_hh_b, b_hh_b, H, mask,
                     interpret=interp)

@@ -50,9 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mmdfn_tpu.ops._util import round_up
 
 
 def _kernel(adj_ref, h_ref, h0_ref, w1_ref, w2_ref, theta_ref,
@@ -111,8 +109,8 @@ def gcnii_stack_fused(adj: jnp.ndarray, h: jnp.ndarray, h0: jnp.ndarray,
     """
     B, N, H = h.shape
     nlayers = W.shape[0]
-    Np = _round_up(N, 128)
-    Hp = _round_up(H, 128)
+    Np = round_up(N, 128)
+    Hp = round_up(H, 128)
 
     pad = lambda a, *dims: jnp.pad(a, [(0, d - s) for s, d in
                                        zip(a.shape, dims)])

@@ -55,11 +55,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mmdfn_tpu.ops._util import round_up
+
 _MASK64 = (1 << 32) - 1
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _lstm_fwd(h, lh, lc, ih, hh, b, Hp):
@@ -456,8 +454,8 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
     """
     B, N, H = h_entry.shape
     nl = W.shape[0]
-    Np = _round_up(N, 128)
-    Hp = _round_up(H, 128)
+    Np = round_up(N, 128)
+    Hp = round_up(H, 128)
     bf = jnp.bfloat16
 
     pad = lambda a, *dims: jnp.pad(a, [(0, d - s) for s, d in

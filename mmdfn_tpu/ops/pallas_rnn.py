@@ -76,9 +76,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from mmdfn_tpu.ops._util import round_up
 
 
 def _gru_step(xg, hg, h, Hp):
@@ -364,7 +362,7 @@ def pack_gate_weights(w_ih: jnp.ndarray, b_ih: jnp.ndarray, H: int
     HBM passes over the (B, L, 3H) pre-activations (and their transposes
     in the backward).
     """
-    Hp = _round_up(H, 128)
+    Hp = round_up(H, 128)
     return (_pack_gates(w_ih, H, Hp, axis=1),
             _pack_gates(b_ih.reshape(1, -1), H, Hp, axis=1).reshape(-1))
 
@@ -389,11 +387,11 @@ def fused_bigru_layer_packed(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
         leak; their cotangents are exact zeros).
     Returns:
       (ys_f, ys_b): (B, L, H) float32 per-direction outputs, position-
-      aligned (ys_b[t] summarizes the masked frames at times >= t).
+      aligned (ys_b[t] summarizes the valid (mask>0) frames at times >= t).
     """
     B, L, G3p = xg_f.shape
     Hp = G3p // 3
-    Bp = _round_up(B, 8)
+    Bp = round_up(B, 8)
 
     def prep_xg(xg):
         xg = xg.astype(jnp.float32)
@@ -448,7 +446,7 @@ def fused_bigru_layer(xg_f: jnp.ndarray, xg_b: jnp.ndarray,
     """
     B, L, G3 = xg_f.shape
     H = G3 // 3
-    Hp = _round_up(H, 128)
+    Hp = round_up(H, 128)
     pack = lambda xg: _pack_gates(xg.astype(jnp.float32), H, Hp, axis=2)
     return fused_bigru_layer_packed(
         pack(xg_f), pack(xg_b), whh_f, bhh_f, whh_b, bhh_b, H, umask,
