@@ -136,11 +136,18 @@ def main():
     t_pal = timeit(chain(lambda x: gcnii_stack_train(
         adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
         rate=RATE, seed=5)), he)
+    t_fus = timeit(chain(lambda x: gcnii_stack_train(
+        adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
+        rate=RATE, seed=5, fuse_dots=True)), he)
     # dropout-free numeric cross-check on device
     o_s = xla_scan_train(adj, he, h0, W, theta, lih, lhh, lb, key, 0.0)
     o_p = gcnii_stack_train(adj, he, h0, W, theta, lih, lhh, lb,
                             alpha=ALPHA, reason=True, rate=0.0, seed=5)
+    o_f = gcnii_stack_train(adj, he, h0, W, theta, lih, lhh, lb,
+                            alpha=ALPHA, reason=True, rate=0.0, seed=5,
+                            fuse_dots=True)
     err = float(jnp.abs(o_s - o_p).max())
+    err_f = float(jnp.abs(o_p - o_f).max())
 
     print(json.dumps({
         "platform": jax.devices()[0].platform,
@@ -149,8 +156,11 @@ def main():
         "dropout_fwdbwd_mask_agreement_fd_rel": round(fd_rel, 6),
         "fwdbwd_scan_ms": round(t_scan * 1e3, 3),
         "fwdbwd_pallas_ms": round(t_pal * 1e3, 3),
+        "fwdbwd_pallas_fused_ms": round(t_fus * 1e3, 3),
         "speedup": round(t_scan / t_pal, 2),
-        "max_abs_err_rate0": err}))
+        "fused_vs_pallas": round(t_pal / t_fus, 2),
+        "max_abs_err_rate0": err,
+        "max_abs_err_fused_vs_pallas_rate0": err_f}))
 
 
 if __name__ == "__main__":

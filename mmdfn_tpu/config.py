@@ -167,7 +167,10 @@ class ExperimentConfig:
     gcn_backend: Optional[str] = None        # 'pallas': fully fused GCNII
                                              # train stack (fwd + custom bwd
                                              # + in-kernel PRNG dropout,
-                                             # ops/pallas_gcnii_train.py)
+                                             # ops/pallas_gcnii_train.py);
+                                             # 'pallas_fused': + stacked-
+                                             # operand dots (~9 vs ~15 MXU
+                                             # dispatches/layer, same math)
     rnn_backend: Optional[str] = None        # 'pallas': fused bi-GRU
                                              # recurrence kernel (fwd +
                                              # custom bwd, ops/pallas_rnn.py)

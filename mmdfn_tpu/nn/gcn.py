@@ -120,9 +120,11 @@ class GCNIIStack(nn.Module):
                                           # stack (fwd + custom bwd +
                                           # in-kernel PRNG dropout,
                                           # ops/pallas_gcnii_train.py);
-                                          # falls back to the scan for
-                                          # non-variant / other dropout
-                                          # wirings / nlayers>32 / TP
+                                          # 'pallas_fused': same kernel with
+                                          # stacked-operand dots (fuse_dots,
+                                          # perf experiment); falls back to
+                                          # the scan for non-variant / other
+                                          # dropout wirings / nlayers>32 / TP
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -164,7 +166,7 @@ class GCNIIStack(nn.Module):
 
         out_dtype = h.dtype
         interp = not on_tpu()
-        if (self.backend == "pallas" and self.variant
+        if (self.backend in ("pallas", "pallas_fused") and self.variant
                 and self.dropout_mode == "after" and self.spmm is None
                 and not self.post_loop_dropout and self.nlayers <= 32
                 # off-TPU the Pallas interpreter's PRNG is a zero stub, so
@@ -196,7 +198,8 @@ class GCNIIStack(nn.Module):
             h = gcnii_stack_train(
                 adj, h, h0, W, theta, *lstm, alpha=self.alpha,
                 reason=self.reason_flag, rate=float(rate), seed=seed,
-                interpret=interp)
+                interpret=interp,
+                fuse_dots=(self.backend == "pallas_fused"))
             return x, h.astype(out_dtype)
 
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None

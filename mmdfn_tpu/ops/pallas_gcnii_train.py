@@ -60,9 +60,16 @@ from mmdfn_tpu.ops._util import round_up
 _MASK64 = (1 << 32) - 1
 
 
-def _lstm_fwd(h, lh, lc, ih, hh, b, Hp):
-    g = (jnp.dot(h, ih, preferred_element_type=jnp.float32)
-         + jnp.dot(lh, hh, preferred_element_type=jnp.float32) + b)
+def _lstm_fwd(h, lh, lc, ih, hh, b, Hp, fused=False):
+    if fused:
+        # ih holds [w_ih; w_hh] stacked on the contraction axis (2Hp, 4Hp);
+        # one (N, 2Hp) @ (2Hp, 4Hp) dot replaces two half-size ones (same
+        # FLOPs and f32 accumulation, one MXU dispatch).  hh is unused.
+        g = jnp.dot(jnp.concatenate([h, lh], axis=1), ih,
+                    preferred_element_type=jnp.float32) + b
+    else:
+        g = (jnp.dot(h, ih, preferred_element_type=jnp.float32)
+             + jnp.dot(lh, hh, preferred_element_type=jnp.float32) + b)
     i = jax.nn.sigmoid(g[:, :Hp])
     f = jax.nn.sigmoid(g[:, Hp:2 * Hp])
     gg = jnp.tanh(g[:, 2 * Hp:3 * Hp])
@@ -73,19 +80,25 @@ def _lstm_fwd(h, lh, lc, ih, hh, b, Hp):
 
 
 def _layer_fwd(h, lh, lc, adj, h0, w1, w2, lstm, *, theta, alpha, reason,
-               rate, thresh, seed_args, Hp):
+               rate, thresh, seed_args, Hp, fused=False):
     """Recompute one GCNII layer; returns (h_next, lh1, lc1, aux)."""
     if reason:
-        lh1, lc1, gates = _lstm_fwd(h, lh, lc, *lstm, Hp)
+        lh1, lc1, gates = _lstm_fwd(h, lh, lc, *lstm, Hp, fused=fused)
         h1 = lh1
     else:
         lh1, lc1, gates = lh, lc, None
         h1 = h
     hi = jnp.dot(adj, h1.astype(adj.dtype),
                  preferred_element_type=jnp.float32)
-    support = (jnp.dot(hi.astype(w1.dtype), w1,
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(h0, w2, preferred_element_type=jnp.float32))
+    if fused:
+        # w1 holds [W1; W2] stacked on the contraction axis (2Hp, Hp):
+        # support = [hi, h0] @ [W1; W2] in one dot.  w2 is unused.
+        support = jnp.dot(jnp.concatenate([hi.astype(w1.dtype), h0], axis=1),
+                          w1, preferred_element_type=jnp.float32)
+    else:
+        support = (jnp.dot(hi.astype(w1.dtype), w1,
+                           preferred_element_type=jnp.float32)
+                   + jnp.dot(h0, w2, preferred_element_type=jnp.float32))
     r = (1.0 - alpha) * hi + alpha * h0.astype(jnp.float32)
     pre = theta * support + (1.0 - theta) * r
     h2 = jnp.maximum(pre, 0.0)
@@ -106,7 +119,7 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 lih_ref, lhh_ref, lb_ref, seed_ref,
                 hout_ref, hres_ref, lhres_ref, lcres_ref,
                 h_scr, lh_scr, lc_scr,
-                *, alpha, reason, rate, thresh, nlb, K, Hp):
+                *, alpha, reason, rate, thresh, nlb, K, Hp, fused):
     b = pl.program_id(0)
     j = pl.program_id(1)               # layer-block index; layers j*K..+K-1
 
@@ -117,7 +130,7 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         lc_scr[:] = jnp.zeros_like(lc_scr)
 
     h, lh, lc = h_scr[:], lh_scr[:], lc_scr[:]
-    lstm = (lih_ref[:], lhh_ref[:], lb_ref[:])
+    lstm = (lih_ref[:], None if fused else lhh_ref[:], lb_ref[:])
     for k in range(K):                 # static unroll over the block
         l = j * K + k
         # residuals: the pre-layer carries, bf16
@@ -125,9 +138,10 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         lhres_ref[0, k] = lh.astype(jnp.bfloat16)
         lcres_ref[0, k] = lc.astype(jnp.bfloat16)
         h, lh, lc, _ = _layer_fwd(
-            h, lh, lc, adj_ref[0], h0_ref[0], w1_ref[k], w2_ref[k], lstm,
+            h, lh, lc, adj_ref[0], h0_ref[0], w1_ref[k],
+            None if fused else w2_ref[k], lstm,
             theta=theta_ref[l, 0], alpha=alpha, reason=reason, rate=rate,
-            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp)
+            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp, fused=fused)
 
     h_scr[:] = h
     lh_scr[:] = lh
@@ -145,7 +159,7 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 dlih_ref, dlhh_ref, dlb_ref,
                 dh_scr, dlh_scr, dlc_scr, dh0_scr, dadj_scr,
                 dw1_scr, dw2_scr, dlih_scr, dlhh_scr, dlb_scr,
-                *, alpha, reason, rate, thresh, nlb, K, nb, Hp):
+                *, alpha, reason, rate, thresh, nlb, K, nb, Hp, fused):
     b = pl.program_id(0)
     j = pl.program_id(1)               # reversed: layer-block nlb-1-j
 
@@ -167,7 +181,7 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
 
     adj = adj_ref[0]
     h0 = h0_ref[0]
-    lstm = (lih_ref[:], lhh_ref[:], lb_ref[:])
+    lstm = (lih_ref[:], None if fused else lhh_ref[:], lb_ref[:])
     base = (nlb - 1 - j) * K           # this block's first layer index
     for k in range(K - 1, -1, -1):     # static reverse unroll
         l = base + k
@@ -175,13 +189,13 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         lh = lhres_ref[0, k].astype(jnp.float32)
         lc = lcres_ref[0, k].astype(jnp.float32)
         w1 = w1_ref[k]
-        w2 = w2_ref[k]
+        w2 = None if fused else w2_ref[k]
         theta = theta_ref[l, 0]
 
         _, _, lc1, (h1, hi, pre, keep, gates) = _layer_fwd(
             h, lh, lc, adj, h0, w1, w2, lstm,
             theta=theta, alpha=alpha, reason=reason, rate=rate,
-            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp)
+            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp, fused=fused)
 
         dh_in = dh_scr[:]
         dh3 = dh_in                                   # h_next = h3 (+ h)
@@ -190,20 +204,33 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         dpre = jnp.where(pre > 0.0, dh2, 0.0)
         tdpre = theta * dpre
 
-        dw1_scr[l] += jax.lax.dot_general(
-            hi, tdpre, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dw2_scr[l] += jax.lax.dot_general(
-            h0.astype(jnp.float32), tdpre, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        d_hi = (jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                + (1.0 - theta) * (1.0 - alpha) * dpre)
-        dh0_scr[:] += (jax.lax.dot_general(tdpre, w2.astype(jnp.float32),
-                                           (((1,), (1,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
-                       + (1.0 - theta) * alpha * dpre)
+        if fused:
+            # one (2Hp, N) @ (N, Hp) weight-grad dot and one
+            # (N, Hp) @ (Hp, 2Hp) input-grad dot replace two of each
+            dw1_scr[l] += jax.lax.dot_general(
+                jnp.concatenate([hi, h0.astype(jnp.float32)], axis=1),
+                tdpre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dhih0 = jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            d_hi = dhih0[:, :Hp] + (1.0 - theta) * (1.0 - alpha) * dpre
+            dh0_scr[:] += dhih0[:, Hp:] + (1.0 - theta) * alpha * dpre
+        else:
+            dw1_scr[l] += jax.lax.dot_general(
+                hi, tdpre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw2_scr[l] += jax.lax.dot_general(
+                h0.astype(jnp.float32), tdpre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            d_hi = (jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    + (1.0 - theta) * (1.0 - alpha) * dpre)
+            dh0_scr[:] += (jax.lax.dot_general(
+                tdpre, w2.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                + (1.0 - theta) * alpha * dpre)
         # hi = adj @ h1  (adj is the symmetric-normalized matrix, but use
         # the explicit transposed contraction, not assumed symmetry)
         d_h1 = jax.lax.dot_general(adj.astype(jnp.float32), d_hi,
@@ -226,18 +253,31 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 [di * i * (1.0 - i), df * f * (1.0 - f),
                  dgg * (1.0 - gg * gg), do * o * (1.0 - o)], axis=1)
             ih, hh, _ = lstm
-            d_h_lstm = jax.lax.dot_general(
-                dgates, ih, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dlh_new = jax.lax.dot_general(
-                dgates, hh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dlih_scr[:] += jax.lax.dot_general(
-                h, dgates, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dlhh_scr[:] += jax.lax.dot_general(
-                lh, dgates, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if fused:
+                # ih holds [w_ih; w_hh]: one input-grad dot gives
+                # [d_h_lstm, dlh], one weight-grad dot gives d[w_ih; w_hh]
+                dhl = jax.lax.dot_general(
+                    dgates, ih, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                d_h_lstm = dhl[:, :Hp]
+                dlh_new = dhl[:, Hp:]
+                dlih_scr[:] += jax.lax.dot_general(
+                    jnp.concatenate([h, lh], axis=1), dgates,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                d_h_lstm = jax.lax.dot_general(
+                    dgates, ih, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dlh_new = jax.lax.dot_general(
+                    dgates, hh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dlih_scr[:] += jax.lax.dot_general(
+                    h, dgates, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dlhh_scr[:] += jax.lax.dot_general(
+                    lh, dgates, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             dlb_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
             dh_total = dh_in + d_h_lstm        # skip (+h) plus LSTM input
             dlc_new = dlc1 * f
@@ -327,8 +367,19 @@ def _layer_block(nl: int) -> int:
     return 1
 
 
+def _fuse_weights(W1, W2, lih, lhh):
+    """Host-side operand prep for the fused-dot kernel mode: stack the two
+    conv weights / the two LSTM weights on their contraction axes (XLA-level
+    concat, ~1 MB once per step) and hand the kernels tile-aligned dummies
+    for the now-unused slots (block specs keep their DMA at one tile)."""
+    Wc = jnp.concatenate([W1, W2], axis=1)          # (nl, 2Hp, Hp)
+    ihc = jnp.concatenate([lih, lhh], axis=0)       # (2Hp, 4Hp)
+    dummy = jnp.zeros((8, 128), jnp.float32)
+    return Wc, ihc, dummy
+
+
 def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
-    alpha, reason, rate, interpret = static
+    alpha, reason, rate, interpret, fused = static
     interpret = _interp_mode(rate, interpret)
     B, Np, _ = adj.shape
     nl, Hp, _ = W1.shape
@@ -336,16 +387,26 @@ def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
     nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
     kernel = functools.partial(_fwd_kernel, alpha=alpha, reason=reason,
-                               rate=rate, thresh=thresh, nlb=nlb, K=K, Hp=Hp)
+                               rate=rate, thresh=thresh, nlb=nlb, K=K, Hp=Hp,
+                               fused=fused)
     bf = jnp.bfloat16
+    if fused:
+        w1_op, ih_op, dummy = _fuse_weights(W1, W2, lih, lhh)
+        w2_op, hh_op = dummy, dummy
+        w1_spec, w2_spec = _per_l(K, 2 * Hp, Hp), _const(8, 128)
+        ih_spec, hh_spec = _const(2 * Hp, 4 * Hp), _const(8, 128)
+    else:
+        w1_op, w2_op, ih_op, hh_op = W1, W2, lih, lhh
+        w1_spec, w2_spec = _per_l(K, Hp, Hp), _per_l(K, Hp, Hp)
+        ih_spec, hh_spec = _const(Hp, 4 * Hp), _const(Hp, 4 * Hp)
     h_out, h_res, lh_res, lc_res = pl.pallas_call(
         kernel,
         grid=(B, nlb),
         in_specs=[
             _per_b(Np, Np), _per_b(Np, Hp), _per_b(Np, Hp),
-            _per_l(K, Hp, Hp), _per_l(K, Hp, Hp),
+            w1_spec, w2_spec,
             _smem(nl, 1),
-            _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
+            ih_spec, hh_spec, _const(1, 4 * Hp),
             _smem(1,),
         ],
         out_specs=[
@@ -360,14 +421,14 @@ def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
         ],
         scratch_shapes=[pltpu.VMEM((Np, Hp), jnp.float32)] * 3,
         interpret=interpret,
-    )(adj, h_entry, h0, W1, W2, theta, lih, lhh, lb, seed)
+    )(adj, h_entry, h0, w1_op, w2_op, theta, ih_op, hh_op, lb, seed)
     res = (adj, h0, W1, W2, lih, lhh, lb, theta, seed,
            h_res, lh_res, lc_res)
     return h_out, res
 
 
 def _stack_bwd(static, res, dh_final):
-    alpha, reason, rate, interpret = static
+    alpha, reason, rate, interpret, fused = static
     interpret = _interp_mode(rate, interpret)
     (adj, h0, W1, W2, lih, lhh, lb, theta, seed,
      h_res, lh_res, lc_res) = res
@@ -378,15 +439,32 @@ def _stack_bwd(static, res, dh_final):
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
     kernel = functools.partial(_bwd_kernel, alpha=alpha, reason=reason,
                                rate=rate, thresh=thresh, nlb=nlb, K=K,
-                               nb=B, Hp=Hp)
+                               nb=B, Hp=Hp, fused=fused)
+    if fused:
+        # dW1/dlih slots carry the stacked grads (split after the call);
+        # dW2/dlhh slots shrink to one-tile dummies
+        w1_op, ih_op, dummy = _fuse_weights(W1, W2, lih, lhh)
+        w2_op, hh_op = dummy, dummy
+        w1_spec = _per_l(K, 2 * Hp, Hp, rev_nlb=nlb)
+        w2_spec, hh_spec = _const(8, 128), _const(8, 128)
+        ih_spec = _const(2 * Hp, 4 * Hp)
+        dw_shape, dih_shape = (nl, 2 * Hp, Hp), (2 * Hp, 4 * Hp)
+        ddummy_shape = (8, 128)
+    else:
+        w1_op, w2_op, ih_op, hh_op = W1, W2, lih, lhh
+        w1_spec = _per_l(K, Hp, Hp, rev_nlb=nlb)
+        w2_spec = _per_l(K, Hp, Hp, rev_nlb=nlb)
+        ih_spec, hh_spec = _const(Hp, 4 * Hp), _const(Hp, 4 * Hp)
+        dw_shape, dih_shape = (nl, Hp, Hp), (Hp, 4 * Hp)
+        ddummy_shape = None
     (dhe, dh0, dadj, dW1, dW2, dlih, dlhh, dlb) = pl.pallas_call(
         kernel,
         grid=(B, nlb),
         in_specs=[
             _per_b(Np, Np), _per_b(Np, Hp),
-            _per_l(K, Hp, Hp, rev_nlb=nlb), _per_l(K, Hp, Hp, rev_nlb=nlb),
+            w1_spec, w2_spec,
             _smem(nl, 1),
-            _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
+            ih_spec, hh_spec, _const(1, 4 * Hp),
             _smem(1,),
             _per_bl(K, Np, Hp, rev_nlb=nlb), _per_bl(K, Np, Hp, rev_nlb=nlb),
             _per_bl(K, Np, Hp, rev_nlb=nlb),
@@ -394,17 +472,18 @@ def _stack_bwd(static, res, dh_final):
         ],
         out_specs=[
             _per_b(Np, Hp), _per_b(Np, Hp), _per_b(Np, Np),
-            _const(nl, Hp, Hp), _const(nl, Hp, Hp),
-            _const(Hp, 4 * Hp), _const(Hp, 4 * Hp), _const(1, 4 * Hp),
+            _const(*dw_shape), _const(*(ddummy_shape or dw_shape)),
+            _const(*dih_shape), _const(*(ddummy_shape or dih_shape)),
+            _const(1, 4 * Hp),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Np, Hp), jnp.float32),
             jax.ShapeDtypeStruct((B, Np, Hp), jnp.float32),
             jax.ShapeDtypeStruct((B, Np, Np), jnp.float32),
-            jax.ShapeDtypeStruct((nl, Hp, Hp), jnp.float32),
-            jax.ShapeDtypeStruct((nl, Hp, Hp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, 4 * Hp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, 4 * Hp), jnp.float32),
+            jax.ShapeDtypeStruct(dw_shape, jnp.float32),
+            jax.ShapeDtypeStruct(ddummy_shape or dw_shape, jnp.float32),
+            jax.ShapeDtypeStruct(dih_shape, jnp.float32),
+            jax.ShapeDtypeStruct(ddummy_shape or dih_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 4 * Hp), jnp.float32),
         ],
         scratch_shapes=[
@@ -413,15 +492,18 @@ def _stack_bwd(static, res, dh_final):
             pltpu.VMEM((Np, Hp), jnp.float32),      # dlc
             pltpu.VMEM((Np, Hp), jnp.float32),      # dh0 acc
             pltpu.VMEM((Np, Np), jnp.float32),      # dadj acc
-            pltpu.VMEM((nl, Hp, Hp), jnp.float32),  # dW1 acc
-            pltpu.VMEM((nl, Hp, Hp), jnp.float32),  # dW2 acc
-            pltpu.VMEM((Hp, 4 * Hp), jnp.float32),
-            pltpu.VMEM((Hp, 4 * Hp), jnp.float32),
+            pltpu.VMEM(dw_shape, jnp.float32),      # dW1 / d[W1;W2] acc
+            pltpu.VMEM(ddummy_shape or dw_shape, jnp.float32),
+            pltpu.VMEM(dih_shape, jnp.float32),     # dlih / d[ih;hh] acc
+            pltpu.VMEM(ddummy_shape or dih_shape, jnp.float32),
             pltpu.VMEM((1, 4 * Hp), jnp.float32),
         ],
         interpret=interpret,
-    )(adj, h0, W1, W2, theta, lih, lhh, lb, seed,
+    )(adj, h0, w1_op, w2_op, theta, ih_op, hh_op, lb, seed,
       h_res, lh_res, lc_res, dh_final)
+    if fused:
+        dW1, dW2 = dW1[:, :Hp], dW1[:, Hp:]
+        dlih, dlhh = dlih[:Hp], dlih[Hp:]
     import numpy as np
     # cotangent dtypes must match the (bf16) primals; int seed gets float0
     return (dadj.astype(adj.dtype), dhe, dh0.astype(h0.dtype),
@@ -439,9 +521,16 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
                       lstm_hh: Optional[jnp.ndarray],
                       lstm_b: Optional[jnp.ndarray],
                       *, alpha: float, reason: bool, rate: float,
-                      seed, interpret: bool = False) -> jnp.ndarray:
+                      seed, interpret: bool = False,
+                      fuse_dots: bool = False) -> jnp.ndarray:
     """Differentiable fused GCNII_lyc layer loop (variant=True,
     dropout-after wiring).
+
+    ``fuse_dots`` stacks the two conv weights and the two reason-LSTM
+    weights on their contraction axes so each layer issues ~9 MXU dots
+    instead of ~15 (same FLOPs, same f32 accumulation; identical math up
+    to f32 summation order within a dot).  Perf experiment knob — reach it
+    with ``gcn_backend='pallas_fused'``.
 
     Args:
       adj: (B, N, N) normalized adjacency; h_entry: (B, N, H) loop-entry
@@ -480,7 +569,8 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
         b_ = jnp.zeros((1, 4 * Hp), jnp.float32)
 
     seed_c = jnp.asarray(seed, jnp.int32).reshape(1)
-    static = (float(alpha), bool(reason), float(rate), bool(interpret))
+    static = (float(alpha), bool(reason), float(rate), bool(interpret),
+              bool(fuse_dots))
     out = _stack_core(static, adj_p, he_p, h0_p, W1, W2, ih, hh, b_,
                       theta_c, seed_c)
     return out[:, :N, :H]

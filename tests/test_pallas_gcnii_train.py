@@ -61,8 +61,9 @@ def _xla_ref(adj, he, h0, W, theta, lih, lhh, lb, reason, alpha=ALPHA):
     return h
 
 
+@pytest.mark.parametrize("fuse", [False, True])
 @pytest.mark.parametrize("reason", [True, False])
-def test_forward_and_grads_match_xla(rng, reason):
+def test_forward_and_grads_match_xla(rng, reason, fuse):
     B, N, H, NL = 2, 20, 12, 3
     adj, he, h0, W, theta, lih, lhh, lb = _inputs(rng, B, N, H, NL)
 
@@ -70,7 +71,7 @@ def test_forward_and_grads_match_xla(rng, reason):
         adj, he, h0, W, lih, lhh, lb = args
         return gcnii_stack_train(adj, he, h0, W, theta, lih, lhh, lb,
                                  alpha=ALPHA, reason=reason, rate=0.0,
-                                 seed=0, interpret=True)
+                                 seed=0, interpret=True, fuse_dots=fuse)
 
     def run_ref(args):
         adj, he, h0, W, lih, lhh, lb = args
@@ -129,7 +130,8 @@ def test_dropout_semantics(rng):
     assert 0.4 < frac < 0.6, f"drop fraction {frac} not ~0.5"
 
 
-def test_dropout_vjp_finite_difference(rng):
+@pytest.mark.parametrize("fuse", [False, True])
+def test_dropout_vjp_finite_difference(rng, fuse):
     """With a FIXED seed the masks are identical across evaluations, so the
     custom VJP must match central finite differences through the dropout.
     (On CPU the interpreter PRNG keeps everything, so this exercises the
@@ -140,7 +142,7 @@ def test_dropout_vjp_finite_difference(rng):
     def loss(he_):
         out = gcnii_stack_train(adj, he_, h0, W, theta, lih, lhh, lb,
                                 alpha=ALPHA, reason=True, rate=0.4, seed=11,
-                                interpret=True)
+                                interpret=True, fuse_dots=fuse)
         return jnp.sum(jnp.sin(out))
 
     g = jax.grad(loss)(he)
@@ -151,7 +153,8 @@ def test_dropout_vjp_finite_difference(rng):
     assert abs(fd - an) < 2e-2 * max(abs(fd), 1.0), (fd, an)
 
 
-def test_flagship_model_gcn_backend_parity(rng):
+@pytest.mark.parametrize("backend", ["pallas", "pallas_fused"])
+def test_flagship_model_gcn_backend_parity(rng, backend):
     """DialogueGNN with gcn_backend='pallas' (dropout off) matches the
     default scan end-to-end — forward log-probs and parameter gradients."""
     from mmdfn_tpu.models import DialogueGNN
@@ -173,7 +176,7 @@ def test_flagship_model_gcn_backend_parity(rng):
               reason_flag=True, deep_gcn_nlayers=2, use_crn_speaker=True,
               speaker_weights="3-0-1", alpha=0.2, lamda=0.5)
     ref_model = DialogueGNN(**kw)
-    pal_model = DialogueGNN(**kw, gcn_backend="pallas")
+    pal_model = DialogueGNN(**kw, gcn_backend=backend)
 
     js = lambda a: jnp.asarray(a)
     variables = ref_model.init(jax.random.PRNGKey(0), js(text), js(qmask),
