@@ -98,6 +98,32 @@ def test_forward_and_grads_match_xla(rng, reason, fuse):
             f"grad {name}: {np.abs(a32 - b32).max():.3e} vs tol {tol:.3e}")
 
 
+@pytest.mark.parametrize("fuse", [False, True])
+def test_flagship_depth_16_layer_blocks(rng, fuse):
+    """16 layers exercises the K=8 layer-block grid (the flagship's block
+    size; the small-NL tests above run K<=2) including the backward's
+    reversed block index maps, at tiny N/H to keep the interpreter fast."""
+    B, N, H, NL = 1, 12, 8, 16
+    adj, he, h0, W, theta, lih, lhh, lb = _inputs(rng, B, N, H, NL)
+    W = W * 0.5  # keep 16 chained layers numerically tame
+
+    def run(he_, kernel):
+        if kernel:
+            return gcnii_stack_train(adj, he_, h0, W, theta, lih, lhh, lb,
+                                     alpha=ALPHA, reason=True, rate=0.0,
+                                     seed=0, interpret=True, fuse_dots=fuse)
+        return _xla_ref(adj, he_, h0, W, theta, lih, lhh, lb, True)
+
+    out_k, out_r = run(he, True), run(he, False)
+    scale = max(float(jnp.abs(out_r).max()), 1.0)
+    assert float(jnp.abs(out_k - out_r).max()) < 1e-3 * scale
+
+    gk = jax.grad(lambda x: jnp.sum(jnp.sin(run(x, True))))(he)
+    gr = jax.grad(lambda x: jnp.sum(jnp.sin(run(x, False))))(he)
+    gscale = max(float(jnp.abs(gr).max()), 1e-3)
+    assert float(jnp.abs(gk - gr).max()) < 2e-2 * gscale
+
+
 @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
                     reason="the CPU Pallas interpreter stubs the TPU PRNG "
                            "with zeros (all-keep); dropout statistics are "
