@@ -142,7 +142,8 @@ DATASETS = dict(
 
 
 def build_reference_model(nlayers, dropout, reason_flag=True,
-                          dataset="IEMOCAP", graph_type="GDF"):
+                          dataset="IEMOCAP", graph_type="GDF",
+                          av_using_lstm=False):
     """The real DialogueGNNModel with the flagship flag assembly
     (run_train_erc.py:416-452 + run_train_ie.sh flags)."""
     ref_model, _ = load_reference()
@@ -155,7 +156,8 @@ def build_reference_model(nlayers, dropout, reason_flag=True,
         no_cuda=True, graph_type=graph_type, use_topic=False, alpha=ALPHA,
         lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
         use_residue=True, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
-        modals="avl", att_type="concat_subsequently", av_using_lstm=False,
+        modals="avl", att_type="concat_subsequently",
+        av_using_lstm=av_using_lstm,
         Deep_GCN_nlayers=nlayers, dataset=dataset, use_speaker=False,
         use_modal=False, reason_flag=reason_flag, multi_modal=True,
         use_crn_speaker=True, speaker_weights=d["sw"], modal_weight=1.0)
@@ -184,8 +186,9 @@ def _encoder_and_head_entries(sd, params):
     for m in ("a", "v", "l"):
         sd[f"linear_{m}.weight"] = t(params[f"linear_{m}"]["kernel"]).T
         sd[f"linear_{m}.bias"] = t(params[f"linear_{m}"]["bias"])
-    _gru_entries(sd, "lstm_l", params["lstm_l"])
-    _gru_entries(sd, "rnn_parties", params["rnn_parties"])
+    for name in ("lstm_l", "rnn_parties", "lstm_a", "lstm_v"):
+        if name in params:      # lstm_a/lstm_v exist iff av_using_lstm
+            _gru_entries(sd, name, params[name])
     sd["smax_fc.weight"] = t(params["smax_fc"]["kernel"]).T
     sd["smax_fc.bias"] = t(params["smax_fc"]["bias"])
 
@@ -246,7 +249,7 @@ def reference_forward(ref, batch):
                tt(batch["audio"]), tt(batch["visual"]))[0]
 
 
-def build_ours(nlayers, dropout, dataset="IEMOCAP"):
+def build_ours(nlayers, dropout, dataset="IEMOCAP", av_using_lstm=False):
     d = DATASETS[dataset]
     return DialogueGNN(
         base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
@@ -254,7 +257,7 @@ def build_ours(nlayers, dropout, dataset="IEMOCAP"):
         n_classes=d["n_classes"], dropout=dropout,
         graph_type="GDF", reason_flag=True, deep_gcn_nlayers=nlayers,
         use_crn_speaker=True, speaker_weights=d["sw"], alpha=ALPHA,
-        lamda=LAMDA)
+        lamda=LAMDA, av_using_lstm=av_using_lstm)
 
 
 @pytest.mark.parametrize("dataset,nlayers,atol", [
@@ -667,8 +670,11 @@ def test_basic_recurrent_models_match_real_reference(rng, kind):
     assert diff.max() < 1e-4
 
 
-@pytest.mark.parametrize("context_attention", ["simple", "general"])
-def test_dialog_rnn_model_matches_real_reference(rng, context_attention):
+@pytest.mark.parametrize("context_attention,listener",
+                         [("simple", False), ("general", False),
+                          ("general", True)])
+def test_dialog_rnn_model_matches_real_reference(rng, context_attention,
+                                                 listener):
     """The bidirectional DialogueRNN baseline (model.py:168-417,
     run_train_erc.py:463-471) against the real reference: party-state
     GRU cells, growing-history context attention, valid-prefix reversal.
@@ -685,7 +691,7 @@ def test_dialog_rnn_model_matches_real_reference(rng, context_attention):
     qmask[np.arange(B)[:, None], np.arange(L)[None, :], spk] = 1.0
 
     ours_model = DialogRNNModel(
-        D_m, D_g, D_p, D_e, D_h, D_a, n_classes=NC, listener_state=False,
+        D_m, D_g, D_p, D_e, D_h, D_a, n_classes=NC, listener_state=listener,
         context_attention=context_attention, dropout_rec=0.5, dropout=0.4)
     variables = ours_model.init(jax.random.PRNGKey(0), jnp.array(U),
                                 jnp.array(qmask), jnp.array(umask),
@@ -696,14 +702,16 @@ def test_dialog_rnn_model_matches_real_reference(rng, context_attention):
 
     ref_model, _ = load_reference()
     ref = ref_model.DialogRNNModel(
-        D_m, D_g, D_p, D_e, D_h, D_a, n_classes=NC, listener_state=False,
+        D_m, D_g, D_p, D_e, D_h, D_a, n_classes=NC, listener_state=listener,
         context_attention=context_attention, dropout_rec=0.5, dropout=0.4)
     t = lambda a: torch.tensor(np.asarray(a))
     p = variables["params"]
     sd = {}
     for d in ("dialog_rnn_f", "dialog_rnn_r"):
         cell = p[d]["cell"]
-        for c in ("g_cell", "p_cell", "e_cell"):
+        cells = ("g_cell", "p_cell", "e_cell") + (
+            ("l_cell",) if listener else ())
+        for c in cells:
             sd[f"{d}.dialogue_cell.{c}.weight_ih"] = t(cell[c]["w_ih"]).T
             sd[f"{d}.dialogue_cell.{c}.weight_hh"] = t(cell[c]["w_hh"]).T
             sd[f"{d}.dialogue_cell.{c}.bias_ih"] = t(cell[c]["b_ih"])
@@ -722,6 +730,35 @@ def test_dialog_rnn_model_matches_real_reference(rng, context_attention):
         theirs = ref(tt(U), tt(qmask), torch.tensor(umask))[0].numpy()
 
     diff = np.abs(ours - np.swapaxes(theirs, 0, 1))
-    print(f"\nDialogRNNModel/{context_attention} real-reference forward "
-          f"diff: max={diff.max():.2e}")
+    print(f"\nDialogRNNModel/{context_attention} listener={listener} "
+          f"real-reference forward diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+def test_av_using_lstm_forward_matches_real_reference(rng):
+    """--av_using_lstm: the audio/visual streams get their own 2-layer
+    bi-GRU encoders (model.py:854-1096) on top of the modality
+    projections; GDF flagship otherwise."""
+    B, L, NL = 3, 7, 2
+    batch = make_exact_batch(rng, B, L)
+    ours_model = build_ours(NL, dropout=0.4, av_using_lstm=True)
+    variables = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    ours = np.asarray(ours_model.apply(
+        variables, jnp.array(batch["text"]), jnp.array(batch["qmask"]),
+        jnp.array(batch["umask"]), jnp.array(batch["audio"]),
+        jnp.array(batch["visual"]), deterministic=True))
+
+    ref = build_reference_model(NL, dropout=0.4, av_using_lstm=True)
+    load_ours_into_reference(ref, variables["params"])
+    ref.eval()
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nav_using_lstm real-reference forward diff: "
+          f"max={diff.max():.2e}")
     assert diff.max() < 1e-4
