@@ -268,6 +268,11 @@ def build_ours(nlayers, dropout, dataset="IEMOCAP", av_using_lstm=False):
     ("MELD", 4, 1e-4),      # 9-speaker CRN + 7 classes + MELD dims +
                             # 0.5-0.5-1.5 speaker weights
                             # (run_train_me.sh:20-52)
+    ("MELD", 64, 1e-3),     # the deepest published config
+                            # (run_train_me.sh:21, GCN_LAYERS="64 32 16");
+                            # exercises the 64-step theta ladder + reason
+                            # chain past the pallas kernel's nlayers<=32
+                            # gate (nn/gcn.py), i.e. the scan fallback
 ])
 def test_forward_matches_real_reference(rng, dataset, nlayers, atol):
     B, L = 3, 7
