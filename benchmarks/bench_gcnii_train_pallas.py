@@ -118,7 +118,15 @@ def main():
     eps = 1e-3
     fd = float((loss_d(he2 + eps * v) - loss_d(he2 - eps * v)) / (2 * eps))
     dot = float(jnp.sum(g * v))
-    fd_rel = abs(fd - dot) / max(abs(fd), 1e-6)
+    fd_rel = abs(fd - dot) / max(abs(fd), abs(dot), 1e-3)
+    # threshold: the FD runs through the kernel's bf16 matmul casts
+    # (quantization ~2^-9 on O(1) activations), so a few % of relative
+    # noise is expected even with perfectly matching masks; a (seed, b, l)
+    # derivation drift flips whole dropout masks and throws the directional
+    # derivative off by O(1).  Assert so mask drift fails the benchmark
+    # loudly instead of relying on a human reading the JSON.
+    assert fd_rel < 0.05, (
+        f"fwd/bwd dropout masks disagree: fd={fd} <g,v>={dot} rel={fd_rel}")
 
     # ---- fwd+bwd timing, chained, R in-jit reps ---------------------
     def chain(stack_fn):

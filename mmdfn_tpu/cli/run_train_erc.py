@@ -140,7 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("--rnn_backend", type=str, default=None, choices=["xla", "pallas"],
         help="'pallas': fused bi-GRU recurrence kernel (fwd + custom bwd) "
              "replacing the per-direction lax.scan chains")
-    add("--gcn_backend", type=str, default=None, choices=["xla", "pallas"],
+    add("--gcn_backend", type=str, default=None,
+        choices=["xla", "pallas", "pallas_fused"],
         help="'pallas': fully fused GCNII train stack (fwd + custom bwd + "
              "in-kernel hardware-PRNG dropout)")
     add("--rng_impl", type=str, default=None,

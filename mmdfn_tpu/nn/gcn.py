@@ -249,8 +249,7 @@ class GCNIIStack(nn.Module):
             # jit explicitly targeting a different backend than the default
             # picks the other unroll — compile-time/perf only, math identical
             # (invariance tested); set scan_unroll explicitly in that case.
-            unroll = (self.nlayers
-                      if jax.default_backend() in ("tpu", "axon") else 2)
+            unroll = self.nlayers if on_tpu() else 2
         if self.scan_remat:
             body = jax.checkpoint(body, prevent_cse=False)
         (h, _), _ = jax.lax.scan(
