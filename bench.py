@@ -26,7 +26,7 @@ TORCH_CPU_BASELINE_DATE = "2026-08-17"
 
 BATCH = 32
 BUCKET = 80
-STEPS = 12
+STEPS = 48      # long windows amortize the tunnel RTT (see guard below)
 NLAYERS = 16
 
 # production flagship config — shared by bench.py, benchmarks/ab_config.py
@@ -153,10 +153,19 @@ def main():
         pass
 
     # plausibility guard: per-step blocking pays a full tunnel round-trip
-    # (~30ms) that pipelining legitimately amortizes (3-4x), but a reading
-    # >8x faster than the blocked step is an async/tunnel artifact (a 40x
-    # ghost reading was observed once) — fall back to the blocked number
-    dt = best_dt if best_dt > blocked_dt / 8 else blocked_dt
+    # that pipelining legitimately amortizes, but an async ghost reading
+    # (dispatch acked before execution; a 40x one was observed once) must
+    # not become the headline.  Two PHYSICAL floors replace the old
+    # `blocked/8` heuristic, which misfired on a ~500ms-RTT day (it
+    # rejected a valid 637-dps window and published the 60-dps blocked
+    # number): (a) a window of STEPS steps ends with block_until_ready, so
+    # its per-step time is >= busy + RTT/STEPS — amortization beyond
+    # STEPSx is impossible; (b) wall time cannot undercut on-device busy
+    # time when the profiler measured it.
+    floor = blocked_dt / STEPS
+    if device_busy_ms is not None:
+        floor = max(floor, 0.8 * device_busy_ms / 1e3)
+    dt = best_dt if best_dt >= floor else blocked_dt
     dps = BATCH / dt
     # blocked_dps (tunnel-round-trip-inclusive median) and window_spread
     # (max/min over the 5 pipelined windows) expose run-to-run variance so
