@@ -147,6 +147,12 @@ def main():
     t_fus = timeit(chain(lambda x: gcnii_stack_train(
         adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
         rate=RATE, seed=5, fuse_dots=True)), he)
+    # batch-blocked backward sweep (Bk batch elements per bwd grid step)
+    t_bk = {}
+    for bk in (2, 4, 8):
+        t_bk[bk] = timeit(chain(lambda x, bk=bk: gcnii_stack_train(
+            adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
+            rate=RATE, seed=5, bwd_batch_block=bk)), he)
     # dropout-free numeric cross-check on device
     o_s = xla_scan_train(adj, he, h0, W, theta, lih, lhh, lb, key, 0.0)
     o_p = gcnii_stack_train(adj, he, h0, W, theta, lih, lhh, lb,
@@ -156,6 +162,18 @@ def main():
                             fuse_dots=True)
     err = float(jnp.abs(o_s - o_p).max())
     err_f = float(jnp.abs(o_p - o_f).max())
+    # batch-blocked backward vs per-b backward ON HARDWARE, live dropout:
+    # exercises the Mosaic lowering of the blocked kernel and the
+    # per-(GLOBAL b, layer) PRNG re-seeding under Bk>1.  Differences are
+    # f32 dot-summation-order only.
+    gloss = lambda bk: jax.grad(lambda x: jnp.sum(jnp.sin(
+        gcnii_stack_train(adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA,
+                          reason=True, rate=0.4, seed=11,
+                          bwd_batch_block=bk))))(he)
+    g1, g4 = gloss(None), gloss(4)
+    bk_rel = float(jnp.abs(g1 - g4).max()
+                   / jnp.maximum(jnp.abs(g1).max(), 1e-3))
+    assert bk_rel < 1e-2, f"batch-blocked bwd grads diverge: rel={bk_rel}"
 
     print(json.dumps({
         "platform": jax.devices()[0].platform,
@@ -165,10 +183,13 @@ def main():
         "fwdbwd_scan_ms": round(t_scan * 1e3, 3),
         "fwdbwd_pallas_ms": round(t_pal * 1e3, 3),
         "fwdbwd_pallas_fused_ms": round(t_fus * 1e3, 3),
+        "fwdbwd_bwd_bk_ms": {str(k): round(v * 1e3, 3)
+                             for k, v in t_bk.items()},
         "speedup": round(t_scan / t_pal, 2),
         "fused_vs_pallas": round(t_pal / t_fus, 2),
         "max_abs_err_rate0": err,
-        "max_abs_err_fused_vs_pallas_rate0": err_f}))
+        "max_abs_err_fused_vs_pallas_rate0": err_f,
+        "bwd_bk4_vs_bk1_grad_rel": round(bk_rel, 6)}))
 
 
 if __name__ == "__main__":

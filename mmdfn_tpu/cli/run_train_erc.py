@@ -144,6 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["xla", "pallas", "pallas_fused"],
         help="'pallas': fully fused GCNII train stack (fwd + custom bwd + "
              "in-kernel hardware-PRNG dropout)")
+    add("--gcn_bwd_block", type=int, default=None,
+        help="batch elements per backward grid step of the fused GCNII "
+             "kernel (must divide batch_size; non-divisors fall back to 1)")
     add("--rng_impl", type=str, default=None,
         choices=["threefry", "rbg", "unsafe_rbg"],
         help="'rbg': dropout bits from the TPU hardware RNG instead of "

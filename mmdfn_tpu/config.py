@@ -171,6 +171,12 @@ class ExperimentConfig:
                                              # 'pallas_fused': + stacked-
                                              # operand dots (~9 vs ~15 MXU
                                              # dispatches/layer, same math)
+    gcn_bwd_block: Optional[int] = None      # batch elements per backward
+                                             # grid step of the fused GCNII
+                                             # kernel (shared-weight grad
+                                             # dots contract Bk x the rows;
+                                             # must divide batch_size, else
+                                             # silently 1)
     rnn_backend: Optional[str] = None        # 'pallas': fused bi-GRU
                                              # recurrence kernel (fwd +
                                              # custom bwd, ops/pallas_rnn.py)

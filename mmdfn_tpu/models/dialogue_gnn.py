@@ -91,6 +91,8 @@ class DialogueGNN(nn.Module):
                                              # see nn/attention.py)
     gcn_backend: Optional[str] = None        # 'pallas' fused GCNII train
                                              # stack (nn/gcn.py)
+    gcn_bwd_block: Optional[int] = None      # batch block of the fused
+                                             # kernel's backward (nn/gcn.py)
     gcn_spmm: Optional[Callable] = None      # node-sharded adj@h override
                                              # (tensor parallelism over the
                                              # mesh model axis; set by the
@@ -144,6 +146,7 @@ class DialogueGNN(nn.Module):
             rnn_backend=cfg.rnn_backend,
             edge_attn_type=cfg.edge_attn_type,
             gcn_backend=cfg.gcn_backend,
+            gcn_bwd_block=cfg.gcn_bwd_block,
             gcn_spmm=gcn_spmm,
         )
 
@@ -308,7 +311,8 @@ class DialogueGNN(nn.Module):
                 compute_dtype=self.gcn_compute_dtype,
                 scan_unroll=self.gcn_scan_unroll,
                 scan_remat=self.gcn_scan_remat, spmm=self.gcn_spmm,
-                backend=self.gcn_backend, name="graph_model")
+                backend=self.gcn_backend, bwd_block=self.gcn_bwd_block,
+                name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
             feat = nn.Dropout(self.dropout, name="dropout_")(
@@ -393,7 +397,8 @@ class DialogueGNN(nn.Module):
                     compute_dtype=self.gcn_compute_dtype,
                     scan_unroll=self.gcn_scan_unroll,
                     scan_remat=self.gcn_scan_remat, spmm=self.gcn_spmm,
-                    backend=self.gcn_backend, name=name)
+                    backend=self.gcn_backend, bwd_block=self.gcn_bwd_block,
+                    name=name)
 
             if not self.multi_modal:
                 return make_net("graph_net")(

@@ -65,6 +65,7 @@ class MMGCN(nn.Module):
     spmm: Optional[Callable] = None       # node-sharded adj@h override
                                           # (tensor parallelism; GCNIIStack)
     backend: Optional[str] = None         # 'pallas' fused train stack
+    bwd_block: Optional[int] = None       # fused-kernel backward batch block
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -102,7 +103,8 @@ class MMGCN(nn.Module):
             dropout_mode="after", post_loop_dropout=False,
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
-            spmm=self.spmm, backend=self.backend, name="graph_net")
+            spmm=self.spmm, backend=self.backend,
+            bwd_block=self.bwd_block, name="graph_net")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)   # model_GCN.py:482-483
@@ -215,6 +217,7 @@ class DeepGCNII(nn.Module):
     scan_remat: bool = False
     spmm: Optional[Callable] = None
     backend: Optional[str] = None
+    bwd_block: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qmask: jnp.ndarray, umask: jnp.ndarray,
@@ -237,7 +240,8 @@ class DeepGCNII(nn.Module):
             post_loop_dropout=not self.lyc,
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
-            spmm=self.spmm, backend=self.backend, name="stack")
+            spmm=self.spmm, backend=self.backend,
+            bwd_block=self.bwd_block, name="stack")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)

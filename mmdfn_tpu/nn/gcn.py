@@ -125,6 +125,10 @@ class GCNIIStack(nn.Module):
                                           # perf experiment); falls back to
                                           # the scan for non-variant / other
                                           # dropout wirings / nlayers>32 / TP
+    bwd_block: Optional[int] = None       # batch elements per backward grid
+                                          # step of the fused kernel (grad
+                                          # dots contract Bk x the rows;
+                                          # non-divisors of B fall back to 1)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
@@ -199,7 +203,8 @@ class GCNIIStack(nn.Module):
                 adj, h, h0, W, theta, *lstm, alpha=self.alpha,
                 reason=self.reason_flag, rate=float(rate), seed=seed,
                 interpret=interp,
-                fuse_dots=(self.backend == "pallas_fused"))
+                fuse_dots=(self.backend == "pallas_fused"),
+                bwd_batch_block=self.bwd_block)
             return x, h.astype(out_dtype)
 
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None

@@ -79,17 +79,22 @@ def _lstm_fwd(h, lh, lc, ih, hh, b, Hp, fused=False):
     return lh1, lc1, (i, f, gg, o)
 
 
-def _layer_fwd(h, lh, lc, adj, h0, w1, w2, lstm, *, theta, alpha, reason,
-               rate, thresh, seed_args, Hp, fused=False):
-    """Recompute one GCNII layer; returns (h_next, lh1, lc1, aux)."""
+def _layer_fwd(h, lh, lc, mm, h0, w1, w2, lstm, *, theta, alpha, reason,
+               rate, draw_keep, Hp, fused=False):
+    """Recompute one GCNII layer; returns (h_next, lh1, lc1, aux).
+
+    ``mm`` maps h1 -> adj @ h1 (a closure, so the backward's batch-blocked
+    variant can loop its per-b adjacencies while sharing this exact math);
+    ``draw_keep`` returns the dropout keep mask (in-kernel PRNG, seeded per
+    global (b, layer) by the caller).
+    """
     if reason:
         lh1, lc1, gates = _lstm_fwd(h, lh, lc, *lstm, Hp, fused=fused)
         h1 = lh1
     else:
         lh1, lc1, gates = lh, lc, None
         h1 = h
-    hi = jnp.dot(adj, h1.astype(adj.dtype),
-                 preferred_element_type=jnp.float32)
+    hi = mm(h1)
     if fused:
         # w1 holds [W1; W2] stacked on the contraction axis (2Hp, Hp):
         # support = [hi, h0] @ [W1; W2] in one dot.  w2 is unused.
@@ -103,10 +108,7 @@ def _layer_fwd(h, lh, lc, adj, h0, w1, w2, lstm, *, theta, alpha, reason,
     pre = theta * support + (1.0 - theta) * r
     h2 = jnp.maximum(pre, 0.0)
     if rate > 0.0:
-        seed0, b, l = seed_args
-        pltpu.prng_seed(seed0 + b * 8192 + l)   # unique per (b, layer)
-        bits = pltpu.prng_random_bits(h2.shape)
-        keep = bits.astype(jnp.uint32) < jnp.uint32(thresh)
+        keep = draw_keep()
         h3 = jnp.where(keep, h2 * (1.0 / (1.0 - rate)), 0.0)
     else:
         keep = None
@@ -131,17 +133,26 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
 
     h, lh, lc = h_scr[:], lh_scr[:], lc_scr[:]
     lstm = (lih_ref[:], None if fused else lhh_ref[:], lb_ref[:])
+    adj = adj_ref[0]
+    mm = lambda h1: jnp.dot(adj, h1.astype(adj.dtype),
+                            preferred_element_type=jnp.float32)
     for k in range(K):                 # static unroll over the block
         l = j * K + k
         # residuals: the pre-layer carries, bf16
         hres_ref[0, k] = h.astype(jnp.bfloat16)
         lhres_ref[0, k] = lh.astype(jnp.bfloat16)
         lcres_ref[0, k] = lc.astype(jnp.bfloat16)
+
+        def draw_keep(l=l, shape=h.shape):
+            pltpu.prng_seed(seed_ref[0] + b * 8192 + l)  # per (b, layer)
+            bits = pltpu.prng_random_bits(shape)
+            return bits.astype(jnp.uint32) < jnp.uint32(thresh)
+
         h, lh, lc, _ = _layer_fwd(
-            h, lh, lc, adj_ref[0], h0_ref[0], w1_ref[k],
+            h, lh, lc, mm, h0_ref[0], w1_ref[k],
             None if fused else w2_ref[k], lstm,
             theta=theta_ref[l, 0], alpha=alpha, reason=reason, rate=rate,
-            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp, fused=fused)
+            draw_keep=draw_keep, Hp=Hp, fused=fused)
 
     h_scr[:] = h
     lh_scr[:] = lh
@@ -152,6 +163,11 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         hout_ref[0] = h
 
 
+def _cat_b(parts):
+    """Stack per-batch (Np, X) pieces into one (Bk*Np, X) operand."""
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 lih_ref, lhh_ref, lb_ref, seed_ref,
                 hres_ref, lhres_ref, lcres_ref, dhf_ref,
@@ -159,8 +175,14 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 dlih_ref, dlhh_ref, dlb_ref,
                 dh_scr, dlh_scr, dlc_scr, dh0_scr, dadj_scr,
                 dw1_scr, dw2_scr, dlih_scr, dlhh_scr, dlb_scr,
-                *, alpha, reason, rate, thresh, nlb, K, nb, Hp, fused):
-    b = pl.program_id(0)
+                *, alpha, reason, rate, thresh, nlb, K, nbb, Bk, Np, Hp,
+                fused):
+    """Reverse pass, batch-blocked: each grid step owns Bk batch elements
+    so every shared-weight gradient dot gets Bk x the rows (the bwd is
+    latency-bound on small serially-dependent dots, not FLOPs); only the
+    adjacency contractions and the PRNG re-draws stay per-b loops.  Bk=1
+    reproduces the original per-b kernel."""
+    b = pl.program_id(0)               # batch-BLOCK index: b*Bk .. +Bk-1
     j = pl.program_id(1)               # reversed: layer-block nlb-1-j
 
     @pl.when(jnp.logical_and(b == 0, j == 0))
@@ -173,29 +195,47 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
 
     @pl.when(j == 0)
     def _():
-        dh_scr[:] = dhf_ref[0]
+        dh_scr[:] = _cat_b([dhf_ref[bb] for bb in range(Bk)])
         dlh_scr[:] = jnp.zeros_like(dlh_scr)
         dlc_scr[:] = jnp.zeros_like(dlc_scr)
         dh0_scr[:] = jnp.zeros_like(dh0_scr)
         dadj_scr[:] = jnp.zeros_like(dadj_scr)
 
-    adj = adj_ref[0]
-    h0 = h0_ref[0]
+    adjs = [adj_ref[bb] for bb in range(Bk)]
+    h0 = _cat_b([h0_ref[bb] for bb in range(Bk)])
     lstm = (lih_ref[:], None if fused else lhh_ref[:], lb_ref[:])
+
+    def mm(h1):
+        return _cat_b([
+            jnp.dot(adjs[bb], h1[bb * Np:(bb + 1) * Np].astype(adjs[bb].dtype),
+                    preferred_element_type=jnp.float32)
+            for bb in range(Bk)])
+
     base = (nlb - 1 - j) * K           # this block's first layer index
     for k in range(K - 1, -1, -1):     # static reverse unroll
         l = base + k
-        h = hres_ref[0, k].astype(jnp.float32)
-        lh = lhres_ref[0, k].astype(jnp.float32)
-        lc = lcres_ref[0, k].astype(jnp.float32)
+        h = _cat_b([hres_ref[bb, k] for bb in range(Bk)]).astype(jnp.float32)
+        lh = _cat_b([lhres_ref[bb, k]
+                     for bb in range(Bk)]).astype(jnp.float32)
+        lc = _cat_b([lcres_ref[bb, k]
+                     for bb in range(Bk)]).astype(jnp.float32)
         w1 = w1_ref[k]
         w2 = None if fused else w2_ref[k]
         theta = theta_ref[l, 0]
 
+        def draw_keep(l=l):
+            # identical (seed, GLOBAL b, layer) derivation as the forward
+            ks = []
+            for bb in range(Bk):
+                pltpu.prng_seed(seed_ref[0] + (b * Bk + bb) * 8192 + l)
+                bits = pltpu.prng_random_bits((Np, Hp))
+                ks.append(bits.astype(jnp.uint32) < jnp.uint32(thresh))
+            return _cat_b(ks)
+
         _, _, lc1, (h1, hi, pre, keep, gates) = _layer_fwd(
-            h, lh, lc, adj, h0, w1, w2, lstm,
+            h, lh, lc, mm, h0, w1, w2, lstm,
             theta=theta, alpha=alpha, reason=reason, rate=rate,
-            thresh=thresh, seed_args=(seed_ref[0], b, l), Hp=Hp, fused=fused)
+            draw_keep=draw_keep, Hp=Hp, fused=fused)
 
         dh_in = dh_scr[:]
         dh3 = dh_in                                   # h_next = h3 (+ h)
@@ -232,13 +272,19 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 preferred_element_type=jnp.float32)
                 + (1.0 - theta) * alpha * dpre)
         # hi = adj @ h1  (adj is the symmetric-normalized matrix, but use
-        # the explicit transposed contraction, not assumed symmetry)
-        d_h1 = jax.lax.dot_general(adj.astype(jnp.float32), d_hi,
-                                   (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dadj_scr[:] += jax.lax.dot_general(
-            d_hi, h1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # the explicit transposed contraction, not assumed symmetry);
+        # per-b: the adjacency is batch-dependent
+        d_h1_parts = []
+        for bb in range(Bk):
+            sl = slice(bb * Np, (bb + 1) * Np)
+            d_h1_parts.append(jax.lax.dot_general(
+                adjs[bb].astype(jnp.float32), d_hi[sl],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dadj_scr[bb] += jax.lax.dot_general(
+                d_hi[sl], h1[sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        d_h1 = _cat_b(d_h1_parts)
 
         if reason:
             i, f, gg, o = gates
@@ -292,11 +338,13 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
 
     @pl.when(j == nlb - 1)
     def _():
-        dhe_ref[0] = dh_scr[:]
-        dh0_ref[0] = dh0_scr[:]
-        dadj_ref[0] = dadj_scr[:]
+        for bb in range(Bk):
+            sl = slice(bb * Np, (bb + 1) * Np)
+            dhe_ref[bb] = dh_scr[sl]
+            dh0_ref[bb] = dh0_scr[sl]
+            dadj_ref[bb] = dadj_scr[bb]
 
-    @pl.when(jnp.logical_and(b == nb - 1, j == nlb - 1))
+    @pl.when(jnp.logical_and(b == nbb - 1, j == nlb - 1))
     def _():
         dw1_ref[:] = dw1_scr[:]
         dw2_ref[:] = dw2_scr[:]
@@ -305,20 +353,21 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         dlb_ref[:] = dlb_scr[:]
 
 
-def _per_b(*shape):
+def _per_b(*shape, Bk=1):
+    """Per-batch(-block) slab: block (Bk, *shape) at batch-block index b."""
     n = len(shape)
-    return pl.BlockSpec((1,) + shape, lambda b, l: (b,) + (0,) * n,
+    return pl.BlockSpec((Bk,) + shape, lambda b, l: (b,) + (0,) * n,
                         memory_space=pltpu.VMEM)
 
 
-def _per_bl(K, *shape, rev_nlb=None):
-    """Per-(batch, layer-block) slab of K layers' residuals."""
+def _per_bl(K, *shape, rev_nlb=None, Bk=1):
+    """Per-(batch-block, layer-block) slab of K layers' residuals."""
     n = len(shape)
     if rev_nlb is None:
         idx = lambda b, j: (b, j) + (0,) * n
     else:
         idx = lambda b, j: (b, rev_nlb - 1 - j) + (0,) * n
-    return pl.BlockSpec((1, K) + shape, idx, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((Bk, K) + shape, idx, memory_space=pltpu.VMEM)
 
 
 def _per_l(K, *shape, rev_nlb=None):
@@ -379,7 +428,7 @@ def _fuse_weights(W1, W2, lih, lhh):
 
 
 def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
-    alpha, reason, rate, interpret, fused = static
+    alpha, reason, rate, interpret, fused = static[:5]
     interpret = _interp_mode(rate, interpret)
     B, Np, _ = adj.shape
     nl, Hp, _ = W1.shape
@@ -428,18 +477,23 @@ def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
 
 
 def _stack_bwd(static, res, dh_final):
-    alpha, reason, rate, interpret, fused = static
+    alpha, reason, rate, interpret, fused, bwd_bk = static
     interpret = _interp_mode(rate, interpret)
     (adj, h0, W1, W2, lih, lhh, lb, theta, seed,
      h_res, lh_res, lc_res) = res
     B, Np, _ = adj.shape
     nl, Hp, _ = W1.shape
+    Bk = bwd_bk if (bwd_bk and B % bwd_bk == 0) else 1
+    # shrink the layer block as the batch block grows: the (Bk, K) residual
+    # slabs are the dominant VMEM tenant and Bk*K == const keeps them flat
     K = _layer_block(nl)
+    while Bk > 1 and K > 1 and Bk * K > 8:
+        K //= 2
     nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
     kernel = functools.partial(_bwd_kernel, alpha=alpha, reason=reason,
                                rate=rate, thresh=thresh, nlb=nlb, K=K,
-                               nb=B, Hp=Hp, fused=fused)
+                               nbb=B // Bk, Bk=Bk, Np=Np, Hp=Hp, fused=fused)
     if fused:
         # dW1/dlih slots carry the stacked grads (split after the call);
         # dW2/dlhh slots shrink to one-tile dummies
@@ -457,21 +511,22 @@ def _stack_bwd(static, res, dh_final):
         ih_spec, hh_spec = _const(Hp, 4 * Hp), _const(Hp, 4 * Hp)
         dw_shape, dih_shape = (nl, Hp, Hp), (Hp, 4 * Hp)
         ddummy_shape = None
+    res_spec = lambda: _per_bl(K, Np, Hp, rev_nlb=nlb, Bk=Bk)
     (dhe, dh0, dadj, dW1, dW2, dlih, dlhh, dlb) = pl.pallas_call(
         kernel,
-        grid=(B, nlb),
+        grid=(B // Bk, nlb),
         in_specs=[
-            _per_b(Np, Np), _per_b(Np, Hp),
+            _per_b(Np, Np, Bk=Bk), _per_b(Np, Hp, Bk=Bk),
             w1_spec, w2_spec,
             _smem(nl, 1),
             ih_spec, hh_spec, _const(1, 4 * Hp),
             _smem(1,),
-            _per_bl(K, Np, Hp, rev_nlb=nlb), _per_bl(K, Np, Hp, rev_nlb=nlb),
-            _per_bl(K, Np, Hp, rev_nlb=nlb),
-            _per_b(Np, Hp),
+            res_spec(), res_spec(), res_spec(),
+            _per_b(Np, Hp, Bk=Bk),
         ],
         out_specs=[
-            _per_b(Np, Hp), _per_b(Np, Hp), _per_b(Np, Np),
+            _per_b(Np, Hp, Bk=Bk), _per_b(Np, Hp, Bk=Bk),
+            _per_b(Np, Np, Bk=Bk),
             _const(*dw_shape), _const(*(ddummy_shape or dw_shape)),
             _const(*dih_shape), _const(*(ddummy_shape or dih_shape)),
             _const(1, 4 * Hp),
@@ -487,11 +542,11 @@ def _stack_bwd(static, res, dh_final):
             jax.ShapeDtypeStruct((1, 4 * Hp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Np, Hp), jnp.float32),      # dh
-            pltpu.VMEM((Np, Hp), jnp.float32),      # dlh
-            pltpu.VMEM((Np, Hp), jnp.float32),      # dlc
-            pltpu.VMEM((Np, Hp), jnp.float32),      # dh0 acc
-            pltpu.VMEM((Np, Np), jnp.float32),      # dadj acc
+            pltpu.VMEM((Bk * Np, Hp), jnp.float32),  # dh
+            pltpu.VMEM((Bk * Np, Hp), jnp.float32),  # dlh
+            pltpu.VMEM((Bk * Np, Hp), jnp.float32),  # dlc
+            pltpu.VMEM((Bk * Np, Hp), jnp.float32),  # dh0 acc
+            pltpu.VMEM((Bk, Np, Np), jnp.float32),   # dadj acc
             pltpu.VMEM(dw_shape, jnp.float32),      # dW1 / d[W1;W2] acc
             pltpu.VMEM(ddummy_shape or dw_shape, jnp.float32),
             pltpu.VMEM(dih_shape, jnp.float32),     # dlih / d[ih;hh] acc
@@ -522,7 +577,8 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
                       lstm_b: Optional[jnp.ndarray],
                       *, alpha: float, reason: bool, rate: float,
                       seed, interpret: bool = False,
-                      fuse_dots: bool = False) -> jnp.ndarray:
+                      fuse_dots: bool = False,
+                      bwd_batch_block: Optional[int] = None) -> jnp.ndarray:
     """Differentiable fused GCNII_lyc layer loop (variant=True,
     dropout-after wiring).
 
@@ -538,6 +594,11 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
       W: (nlayers, 2H, H); theta: (nlayers,); lstm_*: shared reason-LSTM
       params or None; rate: dropout rate (0 disables, in-kernel hardware
       PRNG otherwise); seed: int32 scalar.
+      bwd_batch_block: batch elements per backward grid step (must divide
+        B, else silently 1).  The backward's shared-weight gradient dots
+        contract Bk x the rows per dot, amortizing MXU pipeline fill over
+        the serial layer chain; identical math up to f32 summation order
+        inside each dot.  None/1 = original per-b backward.
     Returns:
       (B, N, H) final hidden state (pad rows garbage, caller masks).
     """
@@ -570,7 +631,8 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
 
     seed_c = jnp.asarray(seed, jnp.int32).reshape(1)
     static = (float(alpha), bool(reason), float(rate), bool(interpret),
-              bool(fuse_dots))
+              bool(fuse_dots),
+              int(bwd_batch_block) if bwd_batch_block else 1)
     out = _stack_core(static, adj_p, he_p, h0_p, W1, W2, ih, hh, b_,
                       theta_c, seed_c)
     return out[:, :N, :H]

@@ -124,6 +124,40 @@ def test_flagship_depth_16_layer_blocks(rng, fuse):
     assert float(jnp.abs(gk - gr).max()) < 2e-2 * gscale
 
 
+@pytest.mark.parametrize("fuse", [False, True])
+@pytest.mark.parametrize("bk", [2, 4])
+def test_bwd_batch_block_matches_unblocked(rng, bk, fuse):
+    """bwd_batch_block=Bk batches Bk batch elements per backward grid step
+    (shared-weight grad dots contract Bk x the rows in one dot); grads must
+    match the per-b backward up to f32 dot-summation-order noise.  Bk=3
+    does not divide B=4, exercising the silent fall-back to 1."""
+    B, N, H, NL = 4, 20, 12, 4
+    adj, he, h0, W, theta, lih, lhh, lb = _inputs(rng, B, N, H, NL)
+    args = (adj, he, h0, W, lih, lhh, lb)
+
+    def loss(a, bwd_bk):
+        adj_, he_, h0_, W_, lih_, lhh_, lb_ = a
+        return jnp.sum(jnp.sin(gcnii_stack_train(
+            adj_, he_, h0_, W_, theta, lih_, lhh_, lb_,
+            alpha=ALPHA, reason=True, rate=0.0, seed=0, interpret=True,
+            fuse_dots=fuse, bwd_batch_block=bwd_bk)))
+
+    # forward identical (bwd_bk only reshapes the backward)
+    np.testing.assert_array_equal(
+        np.asarray(loss(args, None)), np.asarray(loss(args, bk)))
+
+    g1 = jax.grad(lambda a: loss(a, None))(args)
+    gb = jax.grad(lambda a: loss(a, bk))(args)
+    g3 = jax.grad(lambda a: loss(a, 3))(args)      # non-divisor fall-back
+    names = ["adj", "he", "h0", "W", "lih", "lhh", "lb"]
+    for a, b, c, name in zip(g1, gb, g3, names):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a32).max(), 1e-3)
+        assert np.abs(a32 - b32).max() < 1e-4 * scale, name
+        np.testing.assert_array_equal(a32, np.asarray(c, np.float32),
+                                      err_msg=name)
+
+
 @pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
                     reason="the CPU Pallas interpreter stubs the TPU PRNG "
                            "with zeros (all-keep); dropout statistics are "
