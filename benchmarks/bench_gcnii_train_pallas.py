@@ -147,12 +147,16 @@ def main():
     t_fus = timeit(chain(lambda x: gcnii_stack_train(
         adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
         rate=RATE, seed=5, fuse_dots=True)), he)
-    # batch-blocked backward sweep (Bk batch elements per bwd grid step)
+    # batch-blocked backward sweep (Bk batch elements per bwd grid step);
+    # large Bk can exceed physical VMEM — record the failure, keep going
     t_bk = {}
     for bk in (2, 4, 8):
-        t_bk[bk] = timeit(chain(lambda x, bk=bk: gcnii_stack_train(
-            adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
-            rate=RATE, seed=5, bwd_batch_block=bk)), he)
+        try:
+            t_bk[bk] = timeit(chain(lambda x, bk=bk: gcnii_stack_train(
+                adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
+                rate=RATE, seed=5, bwd_batch_block=bk)), he)
+        except Exception as e:  # noqa: BLE001 — compile OOM is the signal
+            t_bk[bk] = f"compile failed: {str(e)[:120]}"
     # dropout-free numeric cross-check on device
     o_s = xla_scan_train(adj, he, h0, W, theta, lih, lhh, lb, key, 0.0)
     o_p = gcnii_stack_train(adj, he, h0, W, theta, lih, lhh, lb,
@@ -170,10 +174,15 @@ def main():
         gcnii_stack_train(adj, x, h0, W, theta, lih, lhh, lb, alpha=ALPHA,
                           reason=True, rate=0.4, seed=11,
                           bwd_batch_block=bk))))(he)
-    g1, g4 = gloss(None), gloss(4)
-    bk_rel = float(jnp.abs(g1 - g4).max()
-                   / jnp.maximum(jnp.abs(g1).max(), 1e-3))
-    assert bk_rel < 1e-2, f"batch-blocked bwd grads diverge: rel={bk_rel}"
+    try:
+        g1, g2 = gloss(None), gloss(2)
+        bk_rel = float(jnp.abs(g1 - g2).max()
+                       / jnp.maximum(jnp.abs(g1).max(), 1e-3))
+        assert bk_rel < 1e-2, f"batch-blocked bwd grads diverge: rel={bk_rel}"
+    except AssertionError:
+        raise
+    except Exception as e:  # noqa: BLE001 — compile OOM is the signal
+        bk_rel = f"compile failed: {str(e)[:120]}"
 
     print(json.dumps({
         "platform": jax.devices()[0].platform,
@@ -183,13 +192,16 @@ def main():
         "fwdbwd_scan_ms": round(t_scan * 1e3, 3),
         "fwdbwd_pallas_ms": round(t_pal * 1e3, 3),
         "fwdbwd_pallas_fused_ms": round(t_fus * 1e3, 3),
-        "fwdbwd_bwd_bk_ms": {str(k): round(v * 1e3, 3)
+        "fwdbwd_bwd_bk_ms": {str(k): (round(v * 1e3, 3)
+                                      if isinstance(v, float) else v)
                              for k, v in t_bk.items()},
         "speedup": round(t_scan / t_pal, 2),
         "fused_vs_pallas": round(t_pal / t_fus, 2),
         "max_abs_err_rate0": err,
         "max_abs_err_fused_vs_pallas_rate0": err_f,
-        "bwd_bk4_vs_bk1_grad_rel": round(bk_rel, 6)}))
+        "bwd_bk2_vs_bk1_grad_rel": (round(bk_rel, 6)
+                                    if isinstance(bk_rel, float)
+                                    else bk_rel)}))
 
 
 if __name__ == "__main__":

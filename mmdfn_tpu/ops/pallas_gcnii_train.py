@@ -512,6 +512,14 @@ def _stack_bwd(static, res, dh_final):
         dw_shape, dih_shape = (nl, Hp, Hp), (Hp, 4 * Hp)
         ddummy_shape = None
     res_spec = lambda: _per_bl(K, Np, Hp, rev_nlb=nlb, Bk=Bk)
+    extra = {}
+    if Bk > 1:
+        # the batch-blocked backward's live set (Bk x the temporaries plus
+        # the block operands) exceeds XLA's default 16 MiB scoped-VMEM
+        # budget at flagship shapes; raise the Mosaic cap so the compiler
+        # may use the physical VMEM beyond the conservative default
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
     (dhe, dh0, dadj, dW1, dW2, dlih, dlhh, dlb) = pl.pallas_call(
         kernel,
         grid=(B // Bk, nlb),
@@ -554,6 +562,7 @@ def _stack_bwd(static, res, dh_final):
             pltpu.VMEM((1, 4 * Hp), jnp.float32),
         ],
         interpret=interpret,
+        **extra,
     )(adj, h0, w1_op, w2_op, theta, ih_op, hh_op, lb, seed,
       h_res, lh_res, lc_res, dh_final)
     if fused:
