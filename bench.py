@@ -45,7 +45,7 @@ PRODUCTION_CONFIG = dict(
     class_weight=True, Deep_GCN_nlayers=NLAYERS, batch_size=BATCH,
     speaker_weights="3-0-1", gcn_compute_dtype="bfloat16",
     rnn_scan_remat=True, rnn_backend="pallas", gcn_backend="pallas",
-    rng_impl="rbg")
+    gcn_bwd_block=2, rng_impl="rbg")
 
 
 def make_batch(rng, B, L):
