@@ -147,6 +147,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("--gcn_bwd_block", type=int, default=None,
         help="batch elements per backward grid step of the fused GCNII "
              "kernel (must divide batch_size; non-divisors fall back to 1)")
+    add("--tpu_fast", action="store_true",
+        help="enable every measured-win TPU perf knob in one flag (the "
+             "production bench config: fused pallas GCNII+RNN kernels, "
+             "bf16 GCNII scan fallback, RNN-scan remat, batch-blocked "
+             "backward, hardware-RNG dropout; math equivalent up to bf16 "
+             "rounding and different-but-deterministic dropout draws)")
     add("--rng_impl", type=str, default=None,
         choices=["threefry", "rbg", "unsafe_rbg"],
         help="'rbg': dropout bits from the TPU hardware RNG instead of "
@@ -191,7 +197,14 @@ def config_from_args(args) -> "ExperimentConfig":
         kw["gcn_backend"] = None
     if kw.get("rng_impl") == "threefry":
         kw["rng_impl"] = None
-    return ExperimentConfig(**kw)
+    tpu_fast = getattr(args, "tpu_fast", False)  # not a config field
+    cfg = ExperimentConfig(**kw)
+    if tpu_fast:
+        # explicit flags win over the preset for any knob the user also set
+        preset = {k: v for k, v in ExperimentConfig.TPU_FAST_KNOBS.items()
+                  if kw.get(k) in (None, False)}
+        cfg = dataclasses.replace(cfg, **preset)
+    return cfg
 
 
 def load_dialogues(cfg):

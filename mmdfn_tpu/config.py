@@ -10,7 +10,7 @@ class weights ``:398-414``, ``max_seq_len=200`` ``:421``) live here too.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -218,3 +218,19 @@ class ExperimentConfig:
         if self.class_weight:
             return np.asarray(self.info["class_weights"], dtype=np.float32)
         return None
+
+    # the measured-win TPU performance knobs (see DESIGN.md "Performance
+    # decisions" for each A/B).  Forward/backward math is equivalent up to
+    # bf16 rounding in the GCNII stack and different-but-deterministic
+    # dropout draws (hardware PRNG instead of threefry) — NOT bit-stable
+    # with the parity defaults, which is why they are opt-in.
+    TPU_FAST_KNOBS = dict(
+        gcn_compute_dtype="bfloat16", rnn_scan_remat=True,
+        rnn_backend="pallas", gcn_backend="pallas", gcn_bwd_block=2,
+        rng_impl="rbg")
+
+    def with_tpu_fast(self) -> "ExperimentConfig":
+        """This config with every measured-win TPU knob enabled (the
+        production bench configuration; ~2x device-busy time vs the
+        bit-stable parity defaults at the flagship shapes)."""
+        return replace(self, **self.TPU_FAST_KNOBS)

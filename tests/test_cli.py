@@ -102,6 +102,27 @@ def test_parity_toggle_flags_round_trip():
     assert cfg.matmul_precision is None
 
 
+def test_tpu_fast_preset():
+    """--tpu_fast enables every measured-win knob; explicit flags win."""
+    from mmdfn_tpu.config import ExperimentConfig
+
+    cfg = config_from_args(build_parser().parse_args(["--tpu_fast"]))
+    for k, v in ExperimentConfig.TPU_FAST_KNOBS.items():
+        assert getattr(cfg, k) == v, k
+    # an explicitly-set knob overrides the preset value
+    cfg = config_from_args(build_parser().parse_args(
+        ["--tpu_fast", "--gcn_bwd_block", "4"]))
+    assert cfg.gcn_bwd_block == 4
+    assert cfg.rnn_backend == "pallas"
+    # the config-level helper applies the same set
+    cfg2 = ExperimentConfig().with_tpu_fast()
+    for k, v in ExperimentConfig.TPU_FAST_KNOBS.items():
+        assert getattr(cfg2, k) == v, k
+    # off by default: the parity defaults stay untouched without the flag
+    base = config_from_args(build_parser().parse_args([]))
+    assert base.gcn_backend is None and base.rng_impl is None
+
+
 def test_cli_tensorboard_grad_histograms(tmp_path):
     from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
     pkl = str(tmp_path / "iem.pkl")
