@@ -81,6 +81,10 @@ def main(argv=None) -> int:
     ap.add_argument("--load_model", type=str, default=None,
                     help="optional checkpoint dir; default measures with "
                          "fresh params (latency is weight-independent)")
+    ap.add_argument("--tpu_fast", action="store_true",
+                    help="serve with the production perf knobs (fused "
+                         "pallas kernels etc.; math equivalent up to bf16 "
+                         "rounding — see ExperimentConfig.TPU_FAST_KNOBS)")
     args = ap.parse_args(argv)
 
     from mmdfn_tpu.config import ExperimentConfig
@@ -88,10 +92,13 @@ def main(argv=None) -> int:
         dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
         class_weight=True, Deep_GCN_nlayers=args.nlayers,
         speaker_weights="3-0-1", batch_size=8)
+    if args.tpu_fast:
+        cfg = cfg.with_tpu_fast()
     summary = run(cfg=cfg, n_dialogues=args.n_dialogues,
                   min_len=args.min_len, max_len=args.max_len,
                   buckets=tuple(int(b) for b in args.buckets.split(",")),
                   seed=args.seed, load_model=args.load_model)
+    summary["config"] = "tpu_fast" if args.tpu_fast else "parity-default"
     line = json.dumps(summary)
     print(line)
     if args.out:
