@@ -41,17 +41,22 @@ def make_batch(rng, B, L, n_speakers=9):
 
 
 def main():
+    import sys
+
     import jax
 
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.train import Trainer
 
     B, L = 32, 33
+    # optional argv: layer count (32 = run_train_me.sh default grid depth;
+    # 64 = the deepest published config, kernel-eligible since round 3)
+    nl = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     cfg = ExperimentConfig(
         dataset="MELD", graph_type="GDF", reason_flag=True,
-        class_weight=True, Deep_GCN_nlayers=32, batch_size=B,
-        speaker_weights="0.5-0.5-1.5", gcn_compute_dtype="bfloat16",
-        rnn_scan_remat=True, buckets=(33,))
+        class_weight=True, Deep_GCN_nlayers=nl, batch_size=B,
+        speaker_weights="0.5-0.5-1.5",
+        buckets=(33,)).with_tpu_fast()
     trainer = Trainer(cfg)
     state = trainer.init_state()
 
@@ -84,7 +89,7 @@ def main():
 
     print(json.dumps({
         "metric": "MM-DFN MELD train dialogues/sec "
-                  f"(B={B}, L<=33, P=9, 32 GCNII layers, "
+                  f"(B={B}, L<=33, P=9, {nl} GCNII layers, "
                   f"{jax.devices()[0].platform})",
         "value": round(B / dt, 2),
         "unit": "dialogues/sec",

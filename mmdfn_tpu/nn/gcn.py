@@ -172,14 +172,16 @@ class GCNIIStack(nn.Module):
         interp = not on_tpu()
         if (self.backend in ("pallas", "pallas_fused") and self.variant
                 and self.dropout_mode == "after" and self.spmm is None
-                and not self.post_loop_dropout and self.nlayers <= 32
+                and not self.post_loop_dropout and self.nlayers <= 64
                 # off-TPU the Pallas interpreter's PRNG is a zero stub, so
                 # the in-kernel dropout would silently keep everything —
                 # fall back to the scan whenever dropout is live off-TPU
                 and not (use_dropout and interp)):
             # fully fused train stack (fwd + custom bwd + in-kernel
             # hardware-PRNG dropout, ops/pallas_gcnii_train.py).  nlayers
-            # gated by the backward's VMEM weight-grad accumulators.
+            # gated by the backward's VMEM weight-grad accumulators (8 MiB
+            # at 64 layers — the deepest published config — under the
+            # raised Mosaic VMEM cap; see _stack_bwd).
             # gcn_compute_dtype is ignored: the kernel is bf16-matmul /
             # f32-accumulate internally.  Dropout draws come from the TPU
             # PRNG (deterministic per step seed; same contract as the

@@ -513,11 +513,14 @@ def _stack_bwd(static, res, dh_final):
         ddummy_shape = None
     res_spec = lambda: _per_bl(K, Np, Hp, rev_nlb=nlb, Bk=Bk)
     extra = {}
-    if Bk > 1:
+    if Bk > 1 or nl > 32:
         # the batch-blocked backward's live set (Bk x the temporaries plus
         # the block operands) exceeds XLA's default 16 MiB scoped-VMEM
-        # budget at flagship shapes; raise the Mosaic cap so the compiler
-        # may use the physical VMEM beyond the conservative default
+        # budget at flagship shapes (21.5 MiB at Bk=2), as do the deep
+        # stacks' per-layer weight-grad accumulators (8 MiB at nl=64 plus
+        # the rest of the live set); raise the Mosaic cap so the compiler
+        # may use the physical VMEM beyond the conservative default —
+        # hardware-validated at both shapes
         extra["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)
     (dhe, dh0, dadj, dW1, dW2, dlih, dlhh, dlb) = pl.pallas_call(

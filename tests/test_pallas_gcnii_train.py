@@ -124,6 +124,32 @@ def test_flagship_depth_16_layer_blocks(rng, fuse):
     assert float(jnp.abs(gk - gr).max()) < 2e-2 * gscale
 
 
+def test_deepest_published_depth_64_layers(rng):
+    """64 layers — MELD's deepest published config, kernel-eligible since
+    the Mosaic VMEM cap was raised for the backward's weight-grad
+    accumulators (nn/gcn.py gate nlayers<=64).  Tiny N/H keeps the
+    interpreter fast; checks fwd + input-grad parity vs the XLA ref."""
+    B, N, H, NL = 1, 10, 8, 64
+    adj, he, h0, W, theta, lih, lhh, lb = _inputs(rng, B, N, H, NL)
+    W = W * 0.5
+
+    def run(he_, kernel):
+        if kernel:
+            return gcnii_stack_train(adj, he_, h0, W, theta, lih, lhh, lb,
+                                     alpha=ALPHA, reason=True, rate=0.0,
+                                     seed=0, interpret=True)
+        return _xla_ref(adj, he_, h0, W, theta, lih, lhh, lb, True)
+
+    out_k, out_r = run(he, True), run(he, False)
+    scale = max(float(jnp.abs(out_r).max()), 1.0)
+    assert float(jnp.abs(out_k - out_r).max()) < 2e-3 * scale
+
+    gk = jax.grad(lambda x: jnp.sum(jnp.sin(run(x, True))))(he)
+    gr = jax.grad(lambda x: jnp.sum(jnp.sin(run(x, False))))(he)
+    gscale = max(float(jnp.abs(gr).max()), 1e-3)
+    assert float(jnp.abs(gk - gr).max()) < 3e-2 * gscale
+
+
 @pytest.mark.parametrize("fuse", [False, True])
 @pytest.mark.parametrize("bk", [2, 4])
 def test_bwd_batch_block_matches_unblocked(rng, bk, fuse):
