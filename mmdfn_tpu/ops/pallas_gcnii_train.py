@@ -485,9 +485,13 @@ def _stack_bwd(static, res, dh_final):
     nl, Hp, _ = W1.shape
     Bk = bwd_bk if (bwd_bk and B % bwd_bk == 0) else 1
     # shrink the layer block as the batch block grows: the (Bk, K) residual
-    # slabs are the dominant VMEM tenant and Bk*K == const keeps them flat
+    # slabs are the dominant VMEM tenant and Bk*K == const keeps them flat.
+    # The product cap is env-overridable for A/B (MMDFN_GCNII_BKK; a larger
+    # product = fewer grid steps but bigger slabs under the raised VMEM cap)
+    import os
+    bkk = int(os.environ.get("MMDFN_GCNII_BKK", "8"))
     K = _layer_block(nl)
-    while Bk > 1 and K > 1 and Bk * K > 8:
+    while Bk > 1 and K > 1 and Bk * K > bkk:
         K //= 2
     nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
