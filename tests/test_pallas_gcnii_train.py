@@ -239,10 +239,13 @@ def test_dropout_vjp_finite_difference(rng, fuse):
     assert abs(fd - an) < 2e-2 * max(abs(fd), 1.0), (fd, an)
 
 
-@pytest.mark.parametrize("backend", ["pallas", "pallas_fused"])
-def test_flagship_model_gcn_backend_parity(rng, backend):
+@pytest.mark.parametrize("backend,bwd_block", [
+    ("pallas", None), ("pallas_fused", None), ("pallas", 2)])
+def test_flagship_model_gcn_backend_parity(rng, backend, bwd_block):
     """DialogueGNN with gcn_backend='pallas' (dropout off) matches the
-    default scan end-to-end — forward log-probs and parameter gradients."""
+    default scan end-to-end — forward log-probs and parameter gradients;
+    the gcn_bwd_block=2 case drives the batch-blocked backward through
+    the full model path (config -> GCNIIStack -> kernel)."""
     from mmdfn_tpu.models import DialogueGNN
 
     B, L = 2, 5
@@ -262,7 +265,8 @@ def test_flagship_model_gcn_backend_parity(rng, backend):
               reason_flag=True, deep_gcn_nlayers=2, use_crn_speaker=True,
               speaker_weights="3-0-1", alpha=0.2, lamda=0.5)
     ref_model = DialogueGNN(**kw)
-    pal_model = DialogueGNN(**kw, gcn_backend=backend)
+    pal_model = DialogueGNN(**kw, gcn_backend=backend,
+                            gcn_bwd_block=bwd_block)
 
     js = lambda a: jnp.asarray(a)
     variables = ref_model.init(jax.random.PRNGKey(0), js(text), js(qmask),
