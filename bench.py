@@ -162,9 +162,14 @@ def main():
     # its per-step time is >= busy + RTT/STEPS — amortization beyond
     # STEPSx is impossible; (b) wall time cannot undercut on-device busy
     # time when the profiler measured it.
-    floor = blocked_dt / STEPS
+    # (a) gives the full STEPSx amortization only when (b) can veto a
+    # ghost; without the profiler (device_busy_ms None) the only anchor is
+    # the blocked step, and a 40x ghost would clear blocked/48 — so the
+    # profiler-less floor stays at the old 12-step window's bound.
     if device_busy_ms is not None:
-        floor = max(floor, 0.8 * device_busy_ms / 1e3)
+        floor = max(blocked_dt / STEPS, 0.8 * device_busy_ms / 1e3)
+    else:
+        floor = blocked_dt / 12
     dt = best_dt if best_dt >= floor else blocked_dt
     dps = BATCH / dt
     # blocked_dps (tunnel-round-trip-inclusive median) and window_spread

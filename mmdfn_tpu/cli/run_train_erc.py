@@ -181,6 +181,11 @@ def config_from_args(args) -> "ExperimentConfig":
     from mmdfn_tpu.config import ExperimentConfig
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
     kw = {k: v for k, v in vars(args).items() if k in fields}
+    # snapshot the preset knobs BEFORE the off-sentinel normalization below
+    # ('xla'/'threefry'/'float32' -> None): an explicitly-passed opt-out
+    # must beat --tpu_fast, and post-normalization it is indistinguishable
+    # from "not given"
+    raw_knobs = {k: kw.get(k) for k in ExperimentConfig.TPU_FAST_KNOBS}
     if getattr(args, "buckets", None):
         kw["buckets"] = tuple(int(b) for b in args.buckets.split(","))
     elif "buckets" in kw:
@@ -200,9 +205,12 @@ def config_from_args(args) -> "ExperimentConfig":
     tpu_fast = getattr(args, "tpu_fast", False)  # not a config field
     cfg = ExperimentConfig(**kw)
     if tpu_fast:
-        # explicit flags win over the preset for any knob the user also set
+        # explicit flags win over the preset for any knob the user also
+        # set — judged on the PRE-normalization values, so explicit
+        # opt-outs (--gcn_backend xla, --rng_impl threefry,
+        # --gcn_compute_dtype float32, ...) also beat the preset
         preset = {k: v for k, v in ExperimentConfig.TPU_FAST_KNOBS.items()
-                  if kw.get(k) in (None, False)}
+                  if raw_knobs.get(k) in (None, False)}
         cfg = dataclasses.replace(cfg, **preset)
     return cfg
 

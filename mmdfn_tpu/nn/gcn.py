@@ -124,7 +124,7 @@ class GCNIIStack(nn.Module):
                                           # stacked-operand dots (fuse_dots,
                                           # perf experiment); falls back to
                                           # the scan for non-variant / other
-                                          # dropout wirings / nlayers>32 / TP
+                                          # dropout wirings / nlayers>64 / TP
     bwd_block: Optional[int] = None       # batch elements per backward grid
                                           # step of the fused kernel (grad
                                           # dots contract Bk x the rows;

@@ -114,6 +114,16 @@ def test_tpu_fast_preset():
         ["--tpu_fast", "--gcn_bwd_block", "4"]))
     assert cfg.gcn_bwd_block == 4
     assert cfg.rnn_backend == "pallas"
+    # explicit OPT-OUTS beat the preset too: the off sentinels ('xla',
+    # 'threefry', 'float32') are normalized to None before the config is
+    # built, so precedence must be judged on the pre-normalization values
+    cfg = config_from_args(build_parser().parse_args(
+        ["--tpu_fast", "--gcn_backend", "xla", "--rng_impl", "threefry",
+         "--gcn_compute_dtype", "float32"]))
+    assert cfg.gcn_backend is None
+    assert cfg.rng_impl is None
+    assert cfg.gcn_compute_dtype is None
+    assert cfg.rnn_backend == "pallas"      # untouched knobs still preset
     # the config-level helper applies the same set
     cfg2 = ExperimentConfig().with_tpu_fast()
     for k, v in ExperimentConfig.TPU_FAST_KNOBS.items():
