@@ -143,7 +143,7 @@ DATASETS = dict(
 
 def build_reference_model(nlayers, dropout, reason_flag=True,
                           dataset="IEMOCAP", graph_type="GDF",
-                          av_using_lstm=False):
+                          av_using_lstm=False, use_residue=True):
     """The real DialogueGNNModel with the flagship flag assembly
     (run_train_erc.py:416-452 + run_train_ie.sh flags)."""
     ref_model, _ = load_reference()
@@ -155,7 +155,7 @@ def build_reference_model(nlayers, dropout, reason_flag=True,
         context_attention="general", dropout=dropout, nodal_attention=True,
         no_cuda=True, graph_type=graph_type, use_topic=False, alpha=ALPHA,
         lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
-        use_residue=True, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
+        use_residue=use_residue, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
         modals="avl", att_type="concat_subsequently",
         av_using_lstm=av_using_lstm,
         Deep_GCN_nlayers=nlayers, dataset=dataset, use_speaker=False,
@@ -249,13 +249,15 @@ def reference_forward(ref, batch):
                tt(batch["audio"]), tt(batch["visual"]))[0]
 
 
-def build_ours(nlayers, dropout, dataset="IEMOCAP", av_using_lstm=False):
+def build_ours(nlayers, dropout, dataset="IEMOCAP", av_using_lstm=False,
+               graph_type="GDF", use_residue=True):
     d = DATASETS[dataset]
     return DialogueGNN(
         base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
         D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
         n_classes=d["n_classes"], dropout=dropout,
-        graph_type="GDF", reason_flag=True, deep_gcn_nlayers=nlayers,
+        graph_type=graph_type, reason_flag=(graph_type == "GDF"),
+        deep_gcn_nlayers=nlayers, use_residue=use_residue,
         use_crn_speaker=True, speaker_weights=d["sw"], alpha=ALPHA,
         lamda=LAMDA, av_using_lstm=av_using_lstm)
 
@@ -765,5 +767,230 @@ def test_av_using_lstm_forward_matches_real_reference(rng):
 
     diff = np.abs(ours.reshape(B * L, -1) - theirs)
     print(f"\nav_using_lstm real-reference forward diff: "
+          f"max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+# --------------------------------------------------------------------------
+# GF2 / MM_GCN2 — the last model family to get a real-reference oracle.
+#
+# The published GF2 path has TWO latent upstream bugs (both pinned by
+# test_gf2_reference_unrunnable_as_published):
+#   (a) arity: the call site passes 6 args (model.py:1296 appends
+#       ``test_label``) into ``MM_GCN2.forward``'s 5 slots
+#       (model_mm.py:219) -> TypeError under every torch version;
+#   (b) head width: with use_residue=True MM_GCN2 emits
+#       nfeat + 3*nhidden = 500 features (model_mm.py:247-254) but
+#       ``smax_fc`` is sized 300*len(modals) = 900 (model.py:985) ->
+#       shape error at the classifier.
+# The oracle therefore runs the real model under the MINIMAL repairs the
+# code evidently intends — a forward wrapper that drops the dead trailing
+# arg (``topicLabel`` itself is already unused inside MM_GCN2.forward), and
+# for the residue variant a correctly-sized smax_fc — exactly the shim
+# methodology the mfn cuda.is_available patch above established.  Our build
+# implements the repaired semantics (DESIGN.md "GF2" rows).
+# --------------------------------------------------------------------------
+
+def _gf2_arity_shim():
+    """Context manager: MM_GCN2.forward accepts + ignores the 6th positional
+    arg the GF2 call site passes (model.py:1296 vs model_mm.py:219)."""
+    from unittest import mock
+    mm = sys.modules["model_mm"]
+    orig = mm.MM_GCN2.forward
+
+    def fwd(self, a, v, l, dia_len, topicLabel, test_label=False):
+        return orig(self, a, v, l, dia_len, topicLabel)
+
+    return mock.patch.object(mm.MM_GCN2, "forward", fwd)
+
+
+def load_gf2_into_reference(ref, params, n_classes=6):
+    """Param mapping for graph_type='GF2': MM_GCN2's per-modal encoders are
+    ``fcs[0]->a, fcs[1]->l, fcs[2]->v`` (model_mm.py:224-234; note the
+    l-before-v ordering) + the inline conv stack; encoders and smax head
+    are the shared mapping."""
+    t = lambda a: torch.tensor(np.asarray(a))
+    sd = {}
+    _encoder_and_head_entries(sd, params)
+    g = params["graph_model"]
+    for idx, m in ((0, "a"), (1, "l"), (2, "v")):
+        sd[f"graph_model.fcs.{idx}.weight"] = t(g[f"fc_{m}"]["kernel"]).T
+        sd[f"graph_model.fcs.{idx}.bias"] = t(g[f"fc_{m}"]["bias"])
+    conv_w = np.asarray(g["convs"]["conv_w"])
+    for i in range(conv_w.shape[0]):
+        sd[f"graph_model.convs.{i}.weight"] = t(conv_w[i])
+    _assert_covered(ref, sd, ("att_model.", "gatedatt."))
+
+
+def test_gf2_reference_unrunnable_as_published(rng):
+    """Pin both upstream GF2 bugs so a reference re-read notices if the
+    analysis in the module comment above ever stops holding."""
+    batch = make_exact_batch(rng, 2, 5)
+    ref = build_reference_model(2, dropout=0.0, graph_type="GF2")
+    assert len(ref.graph_model.convs) == 64      # nlayers=64 hard-coded
+                                                 # (model.py:956)
+    ref.eval()
+    with torch.no_grad(), pytest.raises(TypeError, match="positional"):
+        reference_forward(ref, batch)            # bug (a): 6 args, 5 slots
+    assert ref.smax_fc.in_features == 900        # bug (b): MM_GCN2 emits 500
+    with torch.no_grad(), _gf2_arity_shim(), \
+            pytest.raises(RuntimeError, match="shapes cannot be multiplied"):
+        reference_forward(ref, batch)
+
+
+@pytest.mark.parametrize("use_residue", [False, True])
+def test_gf2_forward_matches_real_reference(rng, use_residue):
+    """graph_type='GF2' (MM_GCN2 over create_big_adj's raw-arccos adjacency
+    with constant-0.99999 cross edges, model_mm.py:260-296, at the
+    hard-coded 64 conv layers) against the real reference.  use_residue=False
+    runs under the arity shim alone; use_residue=True additionally needs the
+    correctly-sized smax_fc (see the bug-pin test)."""
+    B, L = 2, 6
+    d = DATASETS["IEMOCAP"]
+    batch = make_exact_batch(rng, B, L)
+    ours_model = build_ours(64, dropout=0.4, graph_type="GF2",
+                            use_residue=use_residue)
+    variables = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    ours = np.asarray(ours_model.apply(
+        variables, jnp.array(batch["text"]), jnp.array(batch["qmask"]),
+        jnp.array(batch["umask"]), jnp.array(batch["audio"]),
+        jnp.array(batch["visual"]), deterministic=True))
+
+    ref = build_reference_model(2, dropout=0.4, graph_type="GF2",
+                                use_residue=use_residue)
+    if use_residue:
+        # repair (b): in-width = nfeat + 3*nhidden = 500 (model_mm.py:254)
+        ref.smax_fc = torch.nn.Linear(2 * D_E + 3 * GRAPH_H, d["n_classes"])
+    load_gf2_into_reference(ref, variables["params"])
+    ref.eval()
+    with torch.no_grad(), _gf2_arity_shim():
+        theirs = reference_forward(ref, batch).numpy()
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nGF2 real-reference forward diff (use_residue={use_residue}): "
+          f"max={diff.max():.2e} mean={diff.mean():.2e}")
+    assert diff.max() < 1e-4, (
+        f"GF2 forward mismatch vs the real reference: max={diff.max():.2e}")
+
+
+def test_gf2_training_trajectory_matches_real_reference(rng):
+    """5 Adam steps on the GF2 family (64 conv layers, use_residue=False so
+    the reference runs under the arity shim alone) against the reference's
+    own FocalLoss + torch.optim.Adam — the same loop contract as the GDF
+    trajectory test above."""
+    _, ref_loss = load_reference()
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.data.batching import Batch
+    from mmdfn_tpu.train import Trainer
+    from mmdfn_tpu.train.trainer import prepare_inputs
+
+    B, L, STEPS = 2, 5, 5
+    LR, L2, GAMMA = 1e-3, 1e-4, 0.5
+    batch = make_exact_batch(rng, B, L)
+
+    cfg = ExperimentConfig(
+        dataset="IEMOCAP", graph_type="GF2", use_residue=False,
+        dropout=0.0, lr=LR, l2=L2, gamma=GAMMA,
+        class_weight=False, batch_size=B, buckets=(L,),
+        speaker_weights=DATASETS["IEMOCAP"]["sw"])
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+
+    ref = build_reference_model(2, dropout=0.0, graph_type="GF2",
+                                use_residue=False)
+    load_gf2_into_reference(
+        ref, jax.tree_util.tree_map(np.asarray, state.params))
+    ref.train()
+    loss_fn = ref_loss.FocalLoss(gamma=GAMMA)
+    opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=L2)
+
+    inputs = prepare_inputs(cfg, Batch(
+        text=batch["text"], visual=batch["visual"], audio=batch["audio"],
+        qmask=batch["qmask"], umask=batch["umask"], label=batch["label"]))
+    packed_label = torch.tensor(batch["label"].reshape(-1).astype(np.int64))
+
+    ours, theirs = [], []
+    with _gf2_arity_shim():
+        for step in range(STEPS):
+            state, loss, _ = trainer._train_step(state, dict(inputs),
+                                                 jax.random.PRNGKey(step))
+            ours.append(float(loss))
+
+            opt.zero_grad()
+            log_prob = reference_forward(ref, batch)
+            tloss = loss_fn(log_prob, packed_label)
+            tloss.backward()
+            opt.step()
+            theirs.append(float(tloss.detach()))
+
+    drift = np.abs(np.asarray(ours) - np.asarray(theirs))
+    budget = 1e-4 * (np.arange(STEPS) + 1)
+    print(f"\nGF2 real-reference trajectory: ours={ours} theirs={theirs}")
+    assert (drift <= budget).all(), (
+        f"GF2 loss trajectory diverged from the real reference:\n"
+        f" ours={ours}\n theirs={theirs}\n drift={drift.tolist()}")
+
+
+def test_mmgcn2_module_matches_real_reference_mixed_lengths(rng):
+    """The MM_GCN2 graph core alone, at B>1 with MIXED dialogue lengths —
+    the padded/batched representation against the real packed module
+    (model_mm.py:183-296).  The full-model tests above must use full-length
+    dialogues for RNN exactness; the graph module has no recurrence, so
+    mixed lengths are exact here and prove padding never leaks into valid
+    rows of the adjacency or the conv stack."""
+    from mmdfn_tpu.models.mm_gcn import MMGCN2
+
+    load_reference()
+    mm = sys.modules["model_mm"]
+
+    B, L, NF, H, NL, NC = 3, 7, 2 * D_E, GRAPH_H, 8, 6
+    lengths = [7, 4, 5]
+    umask = np.zeros((B, L), np.float32)
+    for b, n in enumerate(lengths):
+        umask[b, :n] = 1.0
+    qmask = np.zeros((B, L, 2), np.float32)
+    qmask[..., 0] = 1.0
+    feats = {m: rng.standard_normal((B, L, NF)).astype(np.float32)
+             for m in "avl"}
+
+    ours_model = MMGCN2(nfeat=NF, nlayers=NL, nhidden=H, nclass=NC,
+                        dropout=0.0, lamda=LAMDA, alpha=0.1, variant=True,
+                        return_feature=True, use_residue=True, modals="avl",
+                        mm_graph="direct")
+    jf = {m: jnp.array(v) for m, v in feats.items()}
+    variables = ours_model.init(jax.random.PRNGKey(0), jf, jnp.array(qmask),
+                                jnp.array(umask), deterministic=True)
+    ours = np.asarray(ours_model.apply(variables, jf, jnp.array(qmask),
+                                       jnp.array(umask), deterministic=True))
+
+    ref = mm.MM_GCN2(nfeat=NF, nlayers=NL, nhidden=H, nclass=NC, dropout=0.0,
+                     lamda=LAMDA, alpha=0.1, variant=True,
+                     return_feature=True, use_residue=True, modals="avl",
+                     mm_graph="single")
+    t = lambda a: torch.tensor(np.asarray(a))
+    p = variables["params"]
+    sd = {}
+    for idx, m in ((0, "a"), (1, "l"), (2, "v")):
+        sd[f"fcs.{idx}.weight"] = t(p[f"fc_{m}"]["kernel"]).T
+        sd[f"fcs.{idx}.bias"] = t(p[f"fc_{m}"]["bias"])
+    conv_w = np.asarray(p["convs"]["conv_w"])
+    for i in range(conv_w.shape[0]):
+        sd[f"convs.{i}.weight"] = t(conv_w[i])
+    _assert_covered(ref, sd, ())
+    ref.eval()
+    pack = lambda x: torch.tensor(np.concatenate(
+        [x[b, :n] for b, n in enumerate(lengths)], axis=0))
+    with torch.no_grad():
+        theirs = ref(pack(feats["a"]), pack(feats["v"]), pack(feats["l"]),
+                     lengths, None).numpy()
+
+    ours_packed = np.concatenate(
+        [ours[b, :n] for b, n in enumerate(lengths)], axis=0)
+    diff = np.abs(ours_packed - theirs)
+    print(f"\nMM_GCN2 module mixed-length real-reference diff: "
           f"max={diff.max():.2e}")
     assert diff.max() < 1e-4
