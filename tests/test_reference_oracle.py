@@ -51,24 +51,93 @@ D_G, D_P, D_E, D_H, D_A, GRAPH_H = 150, 150, 100, 100, 100, 100
 ALPHA, LAMDA = 0.2, 0.5            # CLI defaults (run_train_erc.py:308,310)
 
 
+def _pyg_uniform(size, tensor):
+    """torch-geometric 1.4.3 ``inits.uniform``: U(-1/sqrt(size), +)."""
+    if tensor is not None:
+        bound = 1.0 / np.sqrt(size)
+        tensor.data.uniform_(-bound, bound)
+
+
+class _PyG143RGCNConv(torch.nn.Module):
+    """torch-geometric **1.4.3** ``RGCNConv`` transliterated to plain torch
+    (the version pinned by the reference's requirements.txt) so the REAL
+    relation path (``model.py:682,698,708``) executes without the CUDA
+    scatter package: basis-decomposition messages ``x[src] @ W_rel *
+    edge_norm`` MEAN-aggregated per target (``MessagePassing(aggr='mean')``,
+    flow source_to_target: src = edge_index[0], dst = edge_index[1]), plus
+    root weight and bias; every param inits U(-k, k) with
+    ``k = 1/sqrt(num_bases * in_channels)``."""
+
+    def __init__(self, in_channels, out_channels, num_relations, num_bases,
+                 root_weight=True, bias=True):
+        super().__init__()
+        self.in_channels, self.out_channels = in_channels, out_channels
+        self.num_relations, self.num_bases = num_relations, num_bases
+        self.basis = torch.nn.Parameter(
+            torch.Tensor(num_bases, in_channels, out_channels))
+        self.att = torch.nn.Parameter(torch.Tensor(num_relations, num_bases))
+        self.root = torch.nn.Parameter(
+            torch.Tensor(in_channels, out_channels))
+        self.bias = torch.nn.Parameter(torch.Tensor(out_channels))
+        self.reset_parameters()
+
+    def reset_parameters(self):
+        size = self.num_bases * self.in_channels
+        for p in (self.basis, self.att, self.root, self.bias):
+            _pyg_uniform(size, p)
+
+    def forward(self, x, edge_index, edge_type, edge_norm=None):
+        src, dst = edge_index[0], edge_index[1]
+        w = torch.matmul(self.att, self.basis.view(self.num_bases, -1))
+        w = w.view(self.num_relations, self.in_channels, self.out_channels)
+        w = torch.index_select(w, 0, edge_type)
+        msg = torch.bmm(x[src].unsqueeze(1), w).squeeze(-2)
+        if edge_norm is not None:
+            msg = msg * edge_norm.view(-1, 1)
+        N = x.size(0)
+        agg = x.new_zeros(N, self.out_channels).index_add(0, dst, msg)
+        cnt = x.new_zeros(N).index_add(
+            0, dst, torch.ones(dst.size(0), dtype=x.dtype)).clamp(min=1)
+        return agg / cnt.unsqueeze(-1) + x @ self.root + self.bias
+
+
+class _PyG143GraphConv(torch.nn.Module):
+    """torch-geometric 1.4.3 ``GraphConv``: sum-aggregated neighbour
+    transform plus a root linear — ``out[dst] = sum_src x[src] @ W + lin(x)``
+    (aggr='add'; ``W`` inits U(-1/sqrt(in_channels), +))."""
+
+    def __init__(self, in_channels, out_channels, aggr="add", bias=True):
+        super().__init__()
+        assert aggr == "add"
+        self.in_channels, self.out_channels = in_channels, out_channels
+        self.weight = torch.nn.Parameter(
+            torch.Tensor(in_channels, out_channels))
+        self.lin = torch.nn.Linear(in_channels, out_channels, bias=bias)
+        _pyg_uniform(in_channels, self.weight)
+
+    def forward(self, x, edge_index, edge_weight=None):
+        src, dst = edge_index[0], edge_index[1]
+        h = torch.matmul(x, self.weight)
+        msg = h[src] if edge_weight is None else edge_weight.view(-1, 1) * h[src]
+        agg = x.new_zeros(x.size(0), self.out_channels).index_add(0, dst, msg)
+        return agg + self.lin(x)
+
+
 def load_reference():
     """Import the reference model/loss modules, CPU-patched.
 
     ``torch_geometric`` (a CUDA-scatter dependency of the relation path,
-    ``model.py:12``) is not installed; the GDF path never instantiates its
-    classes, so module stubs satisfy the import.
+    ``model.py:12``) is not installed; the stub modules carry plain-torch
+    transliterations of the pinned PyG-1.4.3 ``RGCNConv``/``GraphConv`` so
+    the REAL relation-path forward executes (see the classes above).
     """
     if "model" in sys.modules and str(
             getattr(sys.modules["model"], "__file__", "")).startswith(REF):
         return sys.modules["model"], sys.modules["loss"]
 
-    class _StubConv:                     # never constructed on the GDF path
-        def __init__(self, *a, **k):
-            raise RuntimeError("torch_geometric stub was instantiated")
-
     tgnn = types.ModuleType("torch_geometric.nn")
-    tgnn.RGCNConv = _StubConv
-    tgnn.GraphConv = _StubConv
+    tgnn.RGCNConv = _PyG143RGCNConv
+    tgnn.GraphConv = _PyG143GraphConv
     tg = types.ModuleType("torch_geometric")
     tg.nn = tgnn
     sys.modules.setdefault("torch_geometric", tg)
@@ -933,6 +1002,152 @@ def test_gf2_training_trajectory_matches_real_reference(rng):
     assert (drift <= budget).all(), (
         f"GF2 loss trajectory diverged from the real reference:\n"
         f" ours={ours}\n theirs={theirs}\n drift={drift.tolist()}")
+
+
+# --------------------------------------------------------------------------
+# relation path — the REAL reference forward, end to end.
+#
+# torch_geometric is absent, but only two of its classes are needed
+# (model.py:682-683); the module stub now carries plain-torch
+# transliterations of the pinned PyG-1.4.3 RGCNConv/GraphConv (top of this
+# file), so the genuine reference code — batch_graphify + edge_perms
+# (model.py:532-611), MaskedEdgeAttention attn1 (model.py:439-471), the
+# GraphNetwork convs (model.py:675-715) and classify_node_features/nodal
+# attention (model.py:614-672) — executes for real here.
+# --------------------------------------------------------------------------
+
+RELATION_DEAD = ("att_model.matchatt.", "att_model.simpleatt.",
+                 "att_model.att.", "gatedatt.")
+
+
+def _relation_conv_entries(sd, prefix, g):
+    """Our DenseRGCNConv/DenseGraphConv params onto PyG-1.4.3 state_dict
+    names.  Orientations: PyG applies ``matmul(x, W)`` for basis/root/
+    GraphConv.weight — same as our (in, out) kernels, so only the nn.Linear
+    (``conv2.lin``) transposes."""
+    t = lambda a: torch.tensor(np.asarray(a))
+    sd[f"{prefix}conv1.basis"] = t(g["conv1"]["basis"])
+    sd[f"{prefix}conv1.att"] = t(g["conv1"]["comp"])
+    sd[f"{prefix}conv1.root"] = t(g["conv1"]["root"])
+    sd[f"{prefix}conv1.bias"] = t(g["conv1"]["bias"])
+    sd[f"{prefix}conv2.weight"] = t(g["conv2"]["nbr"]["kernel"])
+    sd[f"{prefix}conv2.lin.weight"] = t(g["conv2"]["root"]["kernel"]).T
+    sd[f"{prefix}conv2.lin.bias"] = t(g["conv2"]["root"]["bias"])
+
+
+@pytest.mark.parametrize("dataset", ["IEMOCAP", "MELD"])
+def test_relation_forward_matches_real_reference(rng, dataset):
+    """graph_type='relation' multimodal (three RGCN+GraphConv nets fed by
+    the attn1 edge weights of the LAST modality — the overwrite quirk,
+    model.py:1183-1223) against the real reference, at both speaker counts
+    (IEMOCAP P=2 -> 8 relations; MELD P=9 -> 162 relations)."""
+    B, L = (3, 7) if dataset == "IEMOCAP" else (10, 7)
+    d = DATASETS[dataset]
+    batch = make_exact_batch(rng, B, L, dataset=dataset)
+    ours_model = DialogueGNN(
+        base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
+        D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
+        n_classes=d["n_classes"], dropout=0.4, graph_type="relation",
+        reason_flag=False, deep_gcn_nlayers=2, use_crn_speaker=True,
+        speaker_weights=d["sw"], alpha=ALPHA, lamda=LAMDA)
+    variables = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    ours = np.asarray(ours_model.apply(
+        variables, jnp.array(batch["text"]), jnp.array(batch["qmask"]),
+        jnp.array(batch["umask"]), jnp.array(batch["audio"]),
+        jnp.array(batch["visual"]), deterministic=True))
+
+    ref = build_reference_model(2, dropout=0.4, dataset=dataset,
+                                graph_type="relation")
+    p = variables["params"]
+    sd = {}
+    _encoder_and_head_entries(sd, p)
+    t = lambda a: torch.tensor(np.asarray(a))
+    sd["att_model.scalar.weight"] = t(p["att_model"]["scalar"]["kernel"]).T
+    for m in "avl":
+        _relation_conv_entries(sd, f"graph_net_{m}.", p[f"graph_net_{m}"])
+    _assert_covered(ref, sd, RELATION_DEAD)
+    ref.eval()
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nrelation/{dataset} real-reference forward diff: "
+          f"max={diff.max():.2e} mean={diff.mean():.2e}")
+    assert diff.max() < 1e-4, (
+        f"relation forward mismatch vs the real reference ({dataset}): "
+        f"max={diff.max():.2e}")
+
+
+def test_relation_single_stream_forward_matches_real_reference(rng):
+    """graph_type='relation' single-stream (att_type='concat' flips
+    multi_modal off, model.py:819-824): one GraphNetwork with the FULL
+    in-net classifier — classify_node_features + attentive nodal attention
+    (model.py:614-672) — runs for real, which the multimodal path's
+    return_feature=True nets never reach."""
+    B, L = 3, 7
+    d = DATASETS["IEMOCAP"]
+    batch = make_exact_batch(rng, B, L)
+    ours_model = DialogueGNN(
+        base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
+        D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
+        n_classes=d["n_classes"], dropout=0.4, graph_type="relation",
+        att_type="concat", multi_modal=False, reason_flag=False,
+        deep_gcn_nlayers=2, use_crn_speaker=True, speaker_weights=d["sw"],
+        alpha=ALPHA, lamda=LAMDA)
+    variables = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        deterministic=True)
+    ours = np.asarray(ours_model.apply(
+        variables, jnp.array(batch["text"]), jnp.array(batch["qmask"]),
+        jnp.array(batch["umask"]), deterministic=True))
+
+    ref_model, _ = load_reference()
+    ref = ref_model.DialogueGNNModel(
+        "LSTM", d["d_text"], D_G, D_P, D_E, D_H, D_A, GRAPH_H,
+        n_speakers=d["n_speakers"], max_seq_len=200, window_past=10,
+        window_future=10, n_classes=d["n_classes"], listener_state=False,
+        context_attention="general", dropout=0.4, nodal_attention=True,
+        no_cuda=True, graph_type="relation", use_topic=False, alpha=ALPHA,
+        lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
+        use_residue=True, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
+        modals="avl", att_type="concat", av_using_lstm=False,
+        Deep_GCN_nlayers=2, dataset="IEMOCAP", use_speaker=False,
+        use_modal=False, reason_flag=False, multi_modal=True,  # flipped off
+        use_crn_speaker=True, speaker_weights=d["sw"], modal_weight=1.0)
+    assert not ref.multi_modal        # att_type='concat' (model.py:822-824)
+
+    t = lambda a: torch.tensor(np.asarray(a))
+    p = variables["params"]
+    sd = {}
+    sd["linear_.weight"] = t(p["linear_"]["kernel"]).T
+    sd["linear_.bias"] = t(p["linear_"]["bias"])
+    for name in ("lstm", "rnn_parties"):
+        _gru_entries(sd, name, p[name])
+    sd["att_model.scalar.weight"] = t(p["att_model"]["scalar"]["kernel"]).T
+    g = p["graph_net"]
+    _relation_conv_entries(sd, "graph_net.", g)
+    sd["graph_net.matchatt.transform.weight"] = t(
+        g["matchatt"]["transform"]["kernel"]).T
+    sd["graph_net.matchatt.transform.bias"] = t(
+        g["matchatt"]["transform"]["bias"])
+    sd["graph_net.linear.weight"] = t(g["linear"]["kernel"]).T
+    sd["graph_net.linear.bias"] = t(g["linear"]["bias"])
+    sd["graph_net.smax_fc.weight"] = t(g["smax_fc"]["kernel"]).T
+    sd["graph_net.smax_fc.bias"] = t(g["smax_fc"]["bias"])
+    _assert_covered(ref, sd, RELATION_DEAD)
+    ref.eval()
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nrelation single-stream real-reference forward diff: "
+          f"max={diff.max():.2e}")
+    assert diff.max() < 1e-4
 
 
 def test_mmgcn2_module_matches_real_reference_mixed_lengths(rng):
