@@ -1150,6 +1150,89 @@ def test_relation_single_stream_forward_matches_real_reference(rng):
     assert diff.max() < 1e-4
 
 
+@pytest.mark.parametrize("base", ["None", "LSTM"])
+def test_daily_model_forward_matches_real_reference(rng, base):
+    """The REAL ``DialogueGCN_DailyModel`` (model.py:1446-1545) end to end:
+    CNNFeatureExtractor token frontend (model.py:1410-1443), the 'None'
+    linear / 2-layer bidirectional nn.LSTM context encoder, and the full
+    relation graph net with nodal attention — runnable thanks to the same
+    PyG-1.4.3 conv transliterations as the relation tests above.  The
+    upstream never wires this model into its CLI; this pins the library
+    component's parity anyway."""
+    B, L, W, V = 3, 7, 9, 57
+    D_e, GH, P, NC, MSL = 100, 64, 2, 7, 24
+    tokens = rng.integers(0, V, size=(B, L, W)).astype(np.int32)
+    umask = np.ones((B, L), np.float32)
+    qmask = np.zeros((B, L, P), np.float32)
+    for b in range(B):
+        qmask[b, :, b % P] = 1.0
+
+    from mmdfn_tpu.models.daily import DialogueGCNDailyModel
+
+    ours_model = DialogueGCNDailyModel(
+        base_model=base, D_m=100, D_g=D_G, D_p=D_P, D_e=D_e, D_h=D_H,
+        D_a=D_A, graph_hidden_size=GH, n_speakers=P, max_seq_len=MSL,
+        window_past=10, window_future=10, vocab_size=V, embedding_dim=100,
+        n_classes=NC, context_attention="simple", dropout=0.4,
+        nodal_attention=True)
+    variables = ours_model.init(jax.random.PRNGKey(0), jnp.array(tokens),
+                                jnp.array(qmask), jnp.array(umask),
+                                deterministic=True)
+    ours = np.asarray(ours_model.apply(
+        variables, jnp.array(tokens), jnp.array(qmask), jnp.array(umask),
+        deterministic=True))
+
+    ref_model, _ = load_reference()
+    ref = ref_model.DialogueGCN_DailyModel(
+        base, 100, D_G, D_P, D_e, D_H, D_A, GH, n_speakers=P,
+        max_seq_len=MSL, window_past=10, window_future=10, vocab_size=V,
+        embedding_dim=100, n_classes=NC, listener_state=False,
+        context_attention="simple", dropout=0.4, nodal_attention=True,
+        no_cuda=True)
+
+    t = lambda a: torch.tensor(np.asarray(a))
+    p = variables["params"]
+    sd = {}
+    cnn = p["cnn_feat_extractor"]
+    sd["cnn_feat_extractor.embedding.weight"] = t(cnn["embedding"])
+    for i, K in enumerate((3, 4, 5)):
+        # flax Conv kernel (K, E, F) -> torch Conv1d weight (F, E, K)
+        sd[f"cnn_feat_extractor.convs.{i}.weight"] = t(
+            np.transpose(np.asarray(cnn[f"conv{K}"]["kernel"]), (2, 1, 0)))
+        sd[f"cnn_feat_extractor.convs.{i}.bias"] = t(cnn[f"conv{K}"]["bias"])
+    sd["cnn_feat_extractor.fc.weight"] = t(cnn["fc"]["kernel"]).T
+    sd["cnn_feat_extractor.fc.bias"] = t(cnn["fc"]["bias"])
+    if base == "None":
+        sd["base_linear.weight"] = t(p["base_linear"]["kernel"]).T
+        sd["base_linear.bias"] = t(p["base_linear"]["bias"])
+    else:
+        _gru_entries(sd, "lstm", p["lstm"])     # same layout, 4H gates
+    sd["att_model.scalar.weight"] = t(p["att_model"]["scalar"]["kernel"]).T
+    g = p["graph_net"]
+    _relation_conv_entries(sd, "graph_net.", g)
+    sd["graph_net.matchatt.transform.weight"] = t(
+        g["matchatt"]["transform"]["kernel"]).T
+    sd["graph_net.matchatt.transform.bias"] = t(
+        g["matchatt"]["transform"]["bias"])
+    sd["graph_net.linear.weight"] = t(g["linear"]["kernel"]).T
+    sd["graph_net.linear.bias"] = t(g["linear"]["bias"])
+    sd["graph_net.smax_fc.weight"] = t(g["smax_fc"]["kernel"]).T
+    sd["graph_net.smax_fc.bias"] = t(g["smax_fc"]["bias"])
+    _assert_covered(ref, sd, RELATION_DEAD)
+    ref.eval()
+    sf = lambda a: torch.tensor(np.swapaxes(a, 0, 1))   # (B,L,..)->(L,B,..)
+    with torch.no_grad():
+        theirs = ref(sf(tokens).long().contiguous(), sf(qmask),
+                     torch.tensor(umask), [L] * B)[0].numpy()
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nDailyModel/{base} real-reference forward diff: "
+          f"max={diff.max():.2e} mean={diff.mean():.2e}")
+    assert diff.max() < 1e-4, (
+        f"DailyModel({base}) forward mismatch vs the real reference: "
+        f"max={diff.max():.2e}")
+
+
 def test_mmgcn2_module_matches_real_reference_mixed_lengths(rng):
     """The MM_GCN2 graph core alone, at B>1 with MIXED dialogue lengths —
     the padded/batched representation against the real packed module
