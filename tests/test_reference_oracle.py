@@ -1292,3 +1292,153 @@ def test_mmgcn2_module_matches_real_reference_mixed_lengths(rng):
     print(f"\nMM_GCN2 module mixed-length real-reference diff: "
           f"max={diff.max():.2e}")
     assert diff.max() < 1e-4
+
+
+# --------------------------------------------------------------------------
+# multi-epoch LOOP parity: the REAL epoch driver (train_or_eval_graph_model,
+# run_train_erc.py:149-238) driven for several epochs over a multi-batch
+# synthetic set, with the __main__ selection/early-stop block
+# (run_train_erc.py:554-644) transliterated line-for-line — per-epoch
+# train/test loss+acc+F1, the best-epoch choice, the dual-patience stop
+# decision, and the final best-test metrics must all agree with Trainer.fit.
+# --------------------------------------------------------------------------
+
+
+def _import_run_train_erc():
+    """Import the real run_train_erc module (argparse is under __main__,
+    run_train_erc.py:241).  ``train_or_eval_graph_model`` reads a module
+    global ``args`` (:163,170,195) — the test installs one."""
+    load_reference()
+    import run_train_erc as rte        # noqa: F401 (reference epoch driver)
+    rte.args = types.SimpleNamespace(
+        multi_modal=True, mm_fusion_mthd="concat_subsequently",
+        modals="avl", seed=2021)
+    return rte
+
+
+def _make_dialogues(rng, n, L, dataset="IEMOCAP"):
+    """Full-length, single-speaker-per-dialogue Dialogue records (the same
+    exactness conditions as make_exact_batch, see module docstring)."""
+    from mmdfn_tpu.data.datasets import Dialogue
+
+    d = DATASETS[dataset]
+    out = []
+    for i in range(n):
+        qmask = np.zeros((L, d["n_speakers"]), np.float32)
+        qmask[:, i % d["n_speakers"]] = 1.0
+        out.append(Dialogue(
+            vid=f"dia{i}",
+            text=rng.standard_normal((L, d["d_text"])).astype(np.float32),
+            visual=rng.standard_normal((L, d["d_visual"])).astype(np.float32),
+            audio=rng.standard_normal((L, d["d_audio"])).astype(np.float32),
+            qmask=qmask,
+            label=rng.integers(0, d["n_classes"], size=L).astype(np.int32)))
+    return out
+
+
+def _to_ref_loader(batches):
+    """Our Batch objects -> the reference collate tuples (dataloader.py:34:
+    textf/visuf/acouf/qmask seq-first, umask/label batch-first, vids)."""
+    sf = lambda a: torch.tensor(np.swapaxes(np.asarray(a), 0, 1)).contiguous()
+    return [(sf(b.text), sf(b.visual), sf(b.audio), sf(b.qmask),
+             torch.tensor(b.umask),
+             torch.tensor(b.label.astype(np.int64)), list(b.vids))
+            for b in batches]
+
+
+def test_epoch_loop_matches_real_reference(rng):
+    """~6 epochs of the genuine reference epoch machinery vs Trainer.fit."""
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.data.batching import BucketBatcher
+    from mmdfn_tpu.train import Trainer
+
+    L, NL, EPOCHS, PAT = 6, 2, 6, 1
+    LR, L2, GAMMA = 3e-3, 1e-4, 0.5
+    d = DATASETS["IEMOCAP"]
+    train_dias = _make_dialogues(rng, 8, L)
+    test_dias = _make_dialogues(rng, 4, L)
+
+    cfg = ExperimentConfig(
+        dataset="IEMOCAP", graph_type="GDF", reason_flag=True,
+        Deep_GCN_nlayers=NL, dropout=0.0, lr=LR, l2=L2, gamma=GAMMA,
+        class_weight=False, batch_size=2, buckets=(L,), epochs=EPOCHS,
+        patience=PAT, valid_rate=0.0, speaker_weights=d["sw"])
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    host_params = jax.tree_util.tree_map(np.asarray, state.params)
+
+    # ---- the real reference driver ------------------------------------
+    rte = _import_run_train_erc()
+    _, ref_loss = load_reference()
+    ref = build_reference_model(NL, dropout=0.0)
+    load_ours_into_reference(ref, host_params)
+    loss_f = ref_loss.FocalLoss(gamma=GAMMA)
+    opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=L2)
+    names = [str(c) for c in range(d["n_classes"])]
+
+    # identical batch streams: BucketBatcher.epoch(e) is deterministic from
+    # (seed, epoch), so the reference sees exactly the batches fit() trains on
+    train_batcher = trainer._make_batcher(train_dias, shuffle=True)
+    test_loader = _to_ref_loader(trainer._make_batcher(test_dias))
+
+    ref_hist, ref_all_f, ref_all_a = [], [], []
+    best_eval_fscore, best_epoch = None, -1
+    best_eval_loss, best_epoch2 = None, -1
+    patience = patience2 = 0
+    for e in range(EPOCHS):
+        # run_train_erc.py:557-581
+        _, _, tr_loss, tr_acc, _, _, tr_f, _ = rte.train_or_eval_graph_model(
+            model=ref, loss_f=loss_f,
+            dataloader=_to_ref_loader(train_batcher.epoch(e)), epoch=e,
+            train_flag=True, optimizer=opt, cuda_flag=False, modals="avl",
+            target_names=names)
+        rte.train_or_eval_graph_model(       # empty valid split (:568-575)
+            model=ref, loss_f=loss_f, dataloader=[], epoch=e,
+            cuda_flag=False, modals="avl", target_names=names)
+        _, _, te_loss, te_acc, _, _, te_f, _ = rte.train_or_eval_graph_model(
+            model=ref, loss_f=loss_f, dataloader=test_loader, epoch=e,
+            cuda_flag=False, modals="avl", target_names=names)
+        ref_hist.append((tr_loss, tr_acc, tr_f, te_loss, te_acc, te_f))
+        ref_all_f.append(te_f)
+        ref_all_a.append(te_acc)
+        # selection + dual patience, transliterated (run_train_erc.py:608-638)
+        eval_loss, eval_fscore = te_loss, te_f          # valid_rate == 0
+        if e == 0 or best_eval_fscore < eval_fscore:
+            patience = 0
+            best_epoch, best_eval_fscore = e, eval_fscore
+        else:
+            patience += 1
+        if best_eval_loss is None:
+            best_eval_loss = eval_loss
+            best_epoch2 = 0
+        else:
+            if eval_loss < best_eval_loss:
+                best_epoch2, best_eval_loss = e, eval_loss
+                patience2 = 0
+            else:
+                patience2 += 1
+        if patience >= PAT and patience2 >= PAT:
+            break
+
+    # ---- ours ----------------------------------------------------------
+    res = trainer.fit(train_dias, test_dias, state=state, verbose=False)
+
+    print(f"\nepoch-loop parity: ref={ref_hist}\n ours="
+          f"{[(r['train_loss'], r['train_acc'], r['train_fscore'], r['test_loss'], r['test_acc'], r['test_fscore']) for r in res.history]}")
+    assert len(res.history) == len(ref_hist), (
+        f"early-stop decision diverged: ours ran {len(res.history)} epochs, "
+        f"reference ran {len(ref_hist)}")
+    for e, (row, (tr_loss, tr_acc, tr_f, te_loss, te_acc, te_f)) in enumerate(
+            zip(res.history, ref_hist)):
+        assert abs(row["train_loss"] - tr_loss) <= 2e-3, (e, row, tr_loss)
+        assert abs(row["test_loss"] - te_loss) <= 2e-3, (e, row, te_loss)
+        assert row["train_acc"] == tr_acc and row["train_fscore"] == tr_f, (
+            e, row, (tr_acc, tr_f))
+        assert row["test_acc"] == te_acc and row["test_fscore"] == te_f, (
+            e, row, (te_acc, te_f))
+        assert np.isnan(row["valid_loss"])      # empty valid split both sides
+    assert res.best_epoch == best_epoch
+    assert res.all_test_fscore == ref_all_f
+    assert res.all_test_acc == ref_all_a
+    assert res.best_test_fscore == ref_all_f[best_epoch]
+    assert res.best_test_acc == ref_all_a[best_epoch]
