@@ -436,6 +436,11 @@ class Trainer:
                         "original flags")
             state, meta = ckpt_lib.restore_checkpoint(save_dir, state,
                                                       name="last")
+            if self.mesh is not None:
+                # restore yields host numpy leaves; place them back as
+                # mesh-replicated state explicitly (donation + collectives
+                # assume committed placement, not jit auto-placement)
+                state = replicate(self.mesh, state)
             r = meta.get("resume", {})
             start_epoch = int(r.get("epoch", -1)) + 1
             best_epoch = int(r.get("best_epoch", -1))
