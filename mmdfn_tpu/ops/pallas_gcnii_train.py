@@ -144,7 +144,7 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         lcres_ref[0, k] = lc.astype(jnp.bfloat16)
 
         def draw_keep(l=l, shape=h.shape):
-            pltpu.prng_seed(seed_ref[0] + b * 8192 + l)  # per (b, layer)
+            pltpu.prng_seed(seed_ref[0, 0] + b * 8192 + l)  # (b, layer)
             bits = pltpu.prng_random_bits(shape)
             return bits.astype(jnp.uint32) < jnp.uint32(thresh)
 
@@ -176,12 +176,23 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 dh_scr, dlh_scr, dlc_scr, dh0_scr, dadj_scr,
                 dw1_scr, dw2_scr, dlih_scr, dlhh_scr, dlb_scr,
                 *, alpha, reason, rate, thresh, nlb, K, nbb, Bk, Np, Hp,
-                fused):
+                fused, ablate=frozenset()):
     """Reverse pass, batch-blocked: each grid step owns Bk batch elements
     so every shared-weight gradient dot gets Bk x the rows (the bwd is
     latency-bound on small serially-dependent dots, not FLOPs); only the
     adjacency contractions and the PRNG re-draws stay per-b loops.  Bk=1
-    reproduces the original per-b kernel."""
+    reproduces the original per-b kernel.
+
+    ``ablate`` (TIMING ATTRIBUTION ONLY, env ``MMDFN_GCNII_BWD_ABLATE``,
+    benchmarks/attr_gcnii_bwd.py) statically removes a gradient region so
+    its cost can be measured by difference; the resulting gradients are
+    WRONG — never set in production:
+      'wgrad'    — skip the per-layer conv weight-grad dots (dW1/dW2)
+      'dadj'     — skip the per-b adjacency-gradient dots
+      'prng'     — skip the dropout PRNG re-draws (all-keep mask)
+      'lstmgrad' — skip the reason-LSTM gradient chain (elementwise gate
+                   grads + its input/weight dots; the recompute stays)
+    """
     b = pl.program_id(0)               # batch-BLOCK index: b*Bk .. +Bk-1
     j = pl.program_id(1)               # reversed: layer-block nlb-1-j
 
@@ -224,10 +235,12 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         theta = theta_ref[l, 0]
 
         def draw_keep(l=l):
+            if "prng" in ablate:           # timing ablation: all-keep
+                return jnp.ones((Bk * Np, Hp), jnp.bool_)
             # identical (seed, GLOBAL b, layer) derivation as the forward
             ks = []
             for bb in range(Bk):
-                pltpu.prng_seed(seed_ref[0] + (b * Bk + bb) * 8192 + l)
+                pltpu.prng_seed(seed_ref[0, 0] + (b * Bk + bb) * 8192 + l)
                 bits = pltpu.prng_random_bits((Np, Hp))
                 ks.append(bits.astype(jnp.uint32) < jnp.uint32(thresh))
             return _cat_b(ks)
@@ -247,22 +260,24 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         if fused:
             # one (2Hp, N) @ (N, Hp) weight-grad dot and one
             # (N, Hp) @ (Hp, 2Hp) input-grad dot replace two of each
-            dw1_scr[l] += jax.lax.dot_general(
-                jnp.concatenate([hi, h0.astype(jnp.float32)], axis=1),
-                tdpre, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if "wgrad" not in ablate:
+                dw1_scr[l] += jax.lax.dot_general(
+                    jnp.concatenate([hi, h0.astype(jnp.float32)], axis=1),
+                    tdpre, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             dhih0 = jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
             d_hi = dhih0[:, :Hp] + (1.0 - theta) * (1.0 - alpha) * dpre
             dh0_scr[:] += dhih0[:, Hp:] + (1.0 - theta) * alpha * dpre
         else:
-            dw1_scr[l] += jax.lax.dot_general(
-                hi, tdpre, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dw2_scr[l] += jax.lax.dot_general(
-                h0.astype(jnp.float32), tdpre, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if "wgrad" not in ablate:
+                dw1_scr[l] += jax.lax.dot_general(
+                    hi, tdpre, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dw2_scr[l] += jax.lax.dot_general(
+                    h0.astype(jnp.float32), tdpre, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             d_hi = (jax.lax.dot_general(tdpre, w1.astype(jnp.float32),
                                         (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
@@ -281,12 +296,19 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
                 adjs[bb].astype(jnp.float32), d_hi[sl],
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
-            dadj_scr[bb] += jax.lax.dot_general(
-                d_hi[sl], h1[sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if "dadj" not in ablate:
+                dadj_scr[bb] += jax.lax.dot_general(
+                    d_hi[sl], h1[sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         d_h1 = _cat_b(d_h1_parts)
 
-        if reason:
+        if reason and "lstmgrad" in ablate:
+            # timing ablation: route the gradient past the LSTM as identity
+            # (same dataflow length, none of the gate-grad VPU work or dots)
+            dh_total = dh_in + d_h1
+            dlh_new = dlh_scr[:]
+            dlc_new = dlc_scr[:]
+        elif reason:
             i, f, gg, o = gates
             tl = jnp.tanh(lc1)
             dlh1 = d_h1 + dlh_scr[:]
@@ -456,7 +478,7 @@ def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
             w1_spec, w2_spec,
             _smem(nl, 1),
             ih_spec, hh_spec, _const(1, 4 * Hp),
-            _smem(1,),
+            _smem(1, 1),
         ],
         out_specs=[
             _per_b(Np, Hp),
@@ -495,9 +517,15 @@ def _stack_bwd(static, res, dh_final):
         K //= 2
     nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
+    # timing-attribution ablations (benchmarks/attr_gcnii_bwd.py); empty in
+    # production — see _bwd_kernel's docstring
+    ablate = frozenset(
+        a for a in os.environ.get("MMDFN_GCNII_BWD_ABLATE", "").split(",")
+        if a)
     kernel = functools.partial(_bwd_kernel, alpha=alpha, reason=reason,
                                rate=rate, thresh=thresh, nlb=nlb, K=K,
-                               nbb=B // Bk, Bk=Bk, Np=Np, Hp=Hp, fused=fused)
+                               nbb=B // Bk, Bk=Bk, Np=Np, Hp=Hp, fused=fused,
+                               ablate=ablate)
     if fused:
         # dW1/dlih slots carry the stacked grads (split after the call);
         # dW2/dlhh slots shrink to one-tile dummies
@@ -535,7 +563,7 @@ def _stack_bwd(static, res, dh_final):
             w1_spec, w2_spec,
             _smem(nl, 1),
             ih_spec, hh_spec, _const(1, 4 * Hp),
-            _smem(1,),
+            _smem(1, 1),
             res_spec(), res_spec(), res_spec(),
             _per_b(Np, Hp, Bk=Bk),
         ],
@@ -645,7 +673,10 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
         hh = jnp.zeros((Hp, 4 * Hp), jnp.float32)
         b_ = jnp.zeros((1, 4 * Hp), jnp.float32)
 
-    seed_c = jnp.asarray(seed, jnp.int32).reshape(1)
+    # rank-2 so the vmap batching rule's per-config block
+    # (trailing dims == array dims) passes the Mosaic block-shape
+    # rule — rank-1 (K, 1) blocks are rejected (config-parallel sweep)
+    seed_c = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     static = (float(alpha), bool(reason), float(rate), bool(interpret),
               bool(fuse_dots),
               int(bwd_batch_block) if bwd_batch_block else 1)
