@@ -24,6 +24,7 @@ normalization: a zero-degree pad row would otherwise produce ``0^-0.5 = inf``
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -32,6 +33,17 @@ import numpy as np
 
 _SCALE = 0.99999  # reference multiplies cosines by this before arccos
                   # (model_mm.py:149, model_GCN.py:296) to stay in acos domain
+
+
+def _cos_precision():
+    """Matmul precision of the similarity cosines (trace-time env knob,
+    benchmarks A/B only).  Default HIGHEST (6 bf16 MXU passes ~ f32): the
+    bf16 default puts ~1e-2 into cosines, which arccos amplifies near +/-1.
+    ``MMDFN_ADJ_PRECISION=high`` (3 passes) is the measured-A/B candidate."""
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[
+        os.environ.get("MMDFN_ADJ_PRECISION", "highest")]
 
 
 def _safe_unit(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -92,7 +104,7 @@ def intra_modal_similarity(x: jnp.ndarray, umask: jnp.ndarray,
     # HIGHEST precision: on TPU the default bf16 matmul gives ~1e-2 cosine
     # error, which arccos amplifies near +/-1 (SURVEY.md "hard parts")
     cos = jnp.einsum("bld,bmd->blm", n, n,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=_cos_precision())
     sim = _SIM[variant](cos)
     m = umask.astype(jnp.float32)
     return sim * (m[:, :, None] * m[:, None, :])
@@ -253,7 +265,7 @@ def mm_wo_speaker_adjacency(feats: Sequence[jnp.ndarray], umask: jnp.ndarray,
         blocks = []
         for b in range(M):
             cos = jnp.einsum("bld,bmd->blm", units[a], units[b],
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_cos_precision())
             sim = angular_exact_similarity(cos) * pm
             if a == b:
                 # off-diagonal dense similarity; diagonal stays at the
@@ -363,7 +375,7 @@ def window_relation_adjacency(x: jnp.ndarray, umask: jnp.ndarray,
 
     n = _safe_unit(x)
     cos = jnp.einsum("bld,bmd->blm", n, n,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=_cos_precision())
     sim = _SIM[variant](cos)
     m1 = umask.astype(jnp.float32)
     pm = m1[:, :, None] * m1[:, None, :]
