@@ -299,3 +299,36 @@ def test_flagship_model_gcn_backend_parity(rng, backend, bwd_block):
         assert np.abs(a32 - b32).max() < tol, (
             f"{jax.tree_util.keystr(pa)}: "
             f"{np.abs(a32 - b32).max():.3e} vs tol {tol:.3e}")
+
+
+def test_vmap_over_configs_matches_sequential(rng):
+    """jax.vmap of the kernel over a stacked-config axis (grad INSIDE vmap,
+    the VmapSweep dataflow) equals per-config sequential runs — pins the
+    rank-2 seed operand that makes the kernel's vmap lowering legal (a
+    rank-1 (K, 1) SMEM block fails the Mosaic block-shape rule on TPU)."""
+    K, B, N, H, NL = 2, 2, 24, 20, 4
+    adj, he, h0, _, _, _, _, _ = _inputs(rng, B, N, H, NL)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    W = f32(K, NL, 2 * H, H) * 0.3
+    theta = jnp.stack([jnp.log(0.5 / jnp.arange(1, NL + 1) + 1.0)] * K)
+    lih, lhh = f32(K, H, 4 * H) * 0.3, f32(K, H, 4 * H) * 0.3
+    lb = f32(K, 4 * H) * 0.3
+    seeds = jnp.arange(K, dtype=jnp.int32)
+
+    def one(w, t, ih, hh, b_, sd, x):
+        return gcnii_stack_train(adj, x, h0, w, t, ih, hh, b_, alpha=ALPHA,
+                                 reason=True, rate=0.0, seed=sd,
+                                 interpret=True, bwd_batch_block=2)
+
+    def g(w, t, ih, hh, b_, sd, x):
+        return jax.grad(lambda z: jnp.sum(jnp.sin(
+            one(w, t, ih, hh, b_, sd, z))))(x)
+
+    axes = (0, 0, 0, 0, 0, 0, None)
+    out_v = jax.vmap(one, in_axes=axes)(W, theta, lih, lhh, lb, seeds, he)
+    g_v = jax.vmap(g, in_axes=axes)(W, theta, lih, lhh, lb, seeds, he)
+    for k in range(K):
+        o = one(W[k], theta[k], lih[k], lhh[k], lb[k], seeds[k], he)
+        gr = g(W[k], theta[k], lih[k], lhh[k], lb[k], seeds[k], he)
+        assert float(jnp.abs(out_v[k] - o).max()) < 1e-5
+        assert float(jnp.abs(g_v[k] - gr).max()) < 1e-5
