@@ -129,18 +129,12 @@ class VmapSweep:
         self.K = len(combos)
         self._pad_mask = np.zeros(self.K, bool)
         self._pad_mask[self.real_K:] = True
+        # the fused Pallas kernels ride jax.vmap's added config grid axis
+        # bit-identically (validated on hardware, round 4; the one Mosaic
+        # blocker — a rank-1 seed operand whose vmapped (K, 1) SMEM block
+        # violated the block-shape rule — is fixed in the GCNII kernel), so
+        # the stacked-config trainer keeps whatever backends the config asks
         self.cfg = dataclasses.replace(base_cfg, **static)
-        if self.cfg.gcn_backend or self.cfg.rnn_backend:
-            # jax.vmap of the fused Pallas kernels fails Mosaic lowering at
-            # K>1 (the batching rule's auto-generated block for the vmapped
-            # (K, 1) SMEM seed violates the TPU block-shape rule); the bf16
-            # XLA scans vmap cleanly and are measured-parity at flagship
-            # shapes (DESIGN.md), so the stacked-config trainer always runs
-            # them.  SWEEP_BENCH artifacts quantify the cost.
-            print("VmapSweep: pallas backends are not vmappable on TPU; "
-                  "using the XLA scan paths for this stacked run")
-            self.cfg = dataclasses.replace(self.cfg, gcn_backend=None,
-                                           rnn_backend=None)
         self.trainer = Trainer(self.cfg)    # provides model + input prep
         self.lr = self._shard_k(jnp.asarray([c["lr"] for c in combos],
                                             jnp.float32))
