@@ -101,8 +101,8 @@ def main():
 
     # 5 pipelined windows: the chip is reached over a shared tunnel and
     # single-window readings can be inflated several-fold by contention.
-    # Headline = best window; the MEDIAN window is reported alongside so
-    # round-over-round deltas under the contention noise stay judgeable.
+    # Headline = MEDIAN window (best travels alongside) so round-over-round
+    # deltas under the contention noise stay judgeable.
     windows = []
     for w in range(5):
         t0 = time.perf_counter()
@@ -170,8 +170,13 @@ def main():
         floor = max(blocked_dt / STEPS, 0.8 * device_busy_ms / 1e3)
     else:
         floor = blocked_dt / 12
+    # headline = MEDIAN pipelined window (round 4; was best-of-5): the best
+    # window rides the tunnel's optimistic tail, so round-over-round deltas
+    # quoted from it conflate contention luck with real wins (VERDICT r3
+    # weak #5).  The best window still travels in the JSON.
+    med_ok = median_dt if median_dt >= floor else blocked_dt
     dt = best_dt if best_dt >= floor else blocked_dt
-    dps = BATCH / dt
+    dps = BATCH / med_ok
     # blocked_dps (tunnel-round-trip-inclusive median) and window_spread
     # (max/min over the 5 pipelined windows) expose run-to-run variance so
     # round-over-round regressions under the noise floor stay visible
@@ -180,14 +185,14 @@ def main():
     print(json.dumps({
         "metric": "MM-DFN flagship train dialogues/sec "
                   f"(B={BATCH}, L<=80, {NLAYERS} GCNII layers "
-                  "fused-pallas bf16, "
+                  "fused-pallas bf16, MEDIAN pipelined window, "
                   f"{jax.devices()[0].platform})",
         "value": round(dps, 2),
         "unit": "dialogues/sec",
         "vs_baseline": round(dps / TORCH_CPU_BASELINE_DPS, 2),
         "baseline_dps": TORCH_CPU_BASELINE_DPS,
         "baseline_date": TORCH_CPU_BASELINE_DATE,
-        "median_window_dps": round(BATCH / median_dt, 2),
+        "best_window_dps": round(BATCH / dt, 2),
         "blocked_dps": round(BATCH / blocked_dt, 2),
         "device_busy_ms": device_busy_ms,
         "window_dps": [round(BATCH / w, 2) for w in windows],
