@@ -117,40 +117,18 @@ def main():
 
     # noise-free secondary metric: on-device busy ms/step from a profiler
     # trace (immune to tunnel RTT); null if the xplane tooling is absent
-    device_busy_ms = None
-    try:
-        import glob
-        import tempfile
-        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
-        with jax.profiler.trace(trace_dir):
-            for i in range(10):
-                state, loss, _ = trainer._train_step(
-                    state, batches[i % len(batches)],
-                    jax.random.fold_in(key, 10_000 + i))
-            jax.block_until_ready(loss)
-        try:
-            from xprof.convert import raw_to_tool_data
-        except ImportError:
-            from tensorboard_plugin_profile.convert import raw_to_tool_data
-        paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb",
-                                 recursive=True))
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            [paths[-1]], "framework_op_stats", {})
-        table = json.loads(data.decode() if isinstance(data, bytes)
-                           else data)[0]
-        ids = [c["id"] for c in table["cols"]]
+    from mmdfn_tpu.runtime.profiling import device_busy_ms as _busy
 
-        def col(row, name):
-            v = row["c"][ids.index(name)]
-            return v["v"] if v else None
+    def _ten_steps():
+        s = state
+        for i in range(10):
+            s, loss, _ = trainer._train_step(
+                s, batches[i % len(batches)],
+                jax.random.fold_in(key, 10_000 + i))
+        jax.block_until_ready(loss)
 
-        busy_us = sum(float(col(r, "total_self_time") or 0.0)
-                      for r in table["rows"]
-                      if col(r, "host_or_device") == "Device"
-                      and col(r, "type") != "IDLE")
-        device_busy_ms = round(busy_us / 1e4, 3)      # 10-step trace
-    except Exception:
-        pass
+    total_busy = _busy(_ten_steps)
+    device_busy_ms = round(total_busy / 10, 3) if total_busy else None
 
     # plausibility guard: per-step blocking pays a full tunnel round-trip
     # that pipelining legitimately amortizes, but an async ghost reading

@@ -91,6 +91,53 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def device_busy_ms(run) -> Optional[float]:
+    """Total on-device busy time (ms) of everything ``run()`` executes.
+
+    Runs the callable under a ``jax.profiler`` trace and sums the non-IDLE
+    device op self-times from the xplane ``framework_op_stats`` table —
+    the noise-free timing used by ``bench.py`` and the serving latency
+    artifact: it measures what the chip executed, so tunnel RTT and host
+    dispatch overheads cannot contaminate it.  Returns None when the
+    xplane tooling (xprof / tensorboard_plugin_profile) is unavailable or
+    the trace fails; callers must treat that as "no device reading".
+
+    The caller is responsible for making ``run`` block until its work is
+    done (e.g. end with ``jax.block_until_ready``) so the trace contains
+    every dispatched op.
+    """
+    import glob
+    import json as _json
+    import tempfile
+    try:
+        trace_dir = tempfile.mkdtemp(prefix="busy_trace_")
+        with jax.profiler.trace(trace_dir):
+            run()
+        try:
+            from xprof.convert import raw_to_tool_data
+        except ImportError:
+            from tensorboard_plugin_profile.convert import raw_to_tool_data
+        paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb",
+                                 recursive=True))
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            [paths[-1]], "framework_op_stats", {})
+        table = _json.loads(data.decode() if isinstance(data, bytes)
+                            else data)[0]
+        ids = [c["id"] for c in table["cols"]]
+
+        def col(row, name):
+            v = row["c"][ids.index(name)]
+            return v["v"] if v else None
+
+        busy_us = sum(float(col(r, "total_self_time") or 0.0)
+                      for r in table["rows"]
+                      if col(r, "host_or_device") == "Device"
+                      and col(r, "type") != "IDLE")
+        return busy_us / 1e3
+    except Exception:
+        return None
+
+
 def enable_compilation_cache(path: Optional[str] = None,
                              min_compile_secs: float = 1.0):
     """Persistent XLA compilation cache across processes.

@@ -35,6 +35,7 @@ import numpy as np
 
 from mmdfn_tpu.config import ExperimentConfig
 from mmdfn_tpu.data.batching import bucket_length
+from mmdfn_tpu.runtime import profiling
 from mmdfn_tpu.train.trainer import Trainer, TrainState
 
 
@@ -160,8 +161,11 @@ def measure_latency(trainer: Trainer, state: TrainState, dialogues,
     # transfer + one device->host logp pull per append (tunnel RTT).  Here
     # the same per-bucket jitted program is timed with chained on-device
     # buffers, blocking only once per K appends — the amortized per-append
-    # DEVICE time.  link_p50 ~= p50 - device_p50.
+    # DEVICE time, which still carries ~RTT/K of residual link cost (it
+    # moved r03→r04's reading by ~0.3 ms on a slow-tunnel day).  The
+    # profiler busy numbers below are the truly link-immune reading.
     device_ms_by_bucket: Dict[int, float] = {}
+    busy_ms_by_bucket: Dict[int, float] = {}
     D_t, D_a, D_v = session._dims
     zt, za, zv = (jnp.zeros(D, jnp.float32) for D in (D_t, D_a, D_v))
     K = 20
@@ -176,14 +180,34 @@ def measure_latency(trainer: Trainer, state: TrainState, dialogues,
                                                zt, za, zv, 0, 0, L=b)
         jax.block_until_ready(lp)
         device_ms_by_bucket[b] = (time.perf_counter() - t0) / K * 1e3
+
+        # profiler-measured on-device busy time per append: sums what the
+        # chip actually executed, so tunnel RTT and dispatch overhead
+        # cannot contaminate it (None rows dropped when tooling is absent)
+        def _k_appends(b=b):
+            bufs = session._zero_bufs()
+            for _ in range(K):
+                bufs, lp = session._append_predict(session.params, bufs,
+                                                   zt, za, zv, 0, 0, L=b)
+            jax.block_until_ready(lp)
+
+        busy = profiling.device_busy_ms(_k_appends)
+        if busy:        # None = no tooling; 0.0 = no device rows (CPU)
+            busy_ms_by_bucket[b] = busy / K
     dev_ms = np.asarray([device_ms_by_bucket[b] for b in used_buckets])
 
     p = lambda a, q: round(float(np.percentile(a, q)), 3)
-    return dict(n=len(lat),
-                p50_ms=p(lat_ms, 50), p90_ms=p(lat_ms, 90),
-                p99_ms=p(lat_ms, 99),
-                mean_ms=round(float(lat_ms.mean()), 3),
-                device_p50_ms=p(dev_ms, 50), device_p99_ms=p(dev_ms, 99),
-                link_p50_ms=round(p(lat_ms, 50) - p(dev_ms, 50), 3),
-                device_ms_by_bucket={str(k): round(v, 3) for k, v
-                                     in device_ms_by_bucket.items()})
+    out = dict(n=len(lat),
+               p50_ms=p(lat_ms, 50), p90_ms=p(lat_ms, 90),
+               p99_ms=p(lat_ms, 99),
+               mean_ms=round(float(lat_ms.mean()), 3),
+               device_p50_ms=p(dev_ms, 50), device_p99_ms=p(dev_ms, 99),
+               link_p50_ms=round(p(lat_ms, 50) - p(dev_ms, 50), 3),
+               device_ms_by_bucket={str(k): round(v, 3) for k, v
+                                    in device_ms_by_bucket.items()})
+    if busy_ms_by_bucket:
+        busy_ms = np.asarray([busy_ms_by_bucket[b] for b in used_buckets])
+        out["device_busy_p50_ms"] = p(busy_ms, 50)
+        out["device_busy_ms_by_bucket"] = {
+            str(k): round(v, 3) for k, v in busy_ms_by_bucket.items()}
+    return out

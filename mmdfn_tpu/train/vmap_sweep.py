@@ -242,10 +242,14 @@ class VmapSweep:
 
         for e in range(cfg.epochs):
             key = jax.random.PRNGKey(cfg.seed)  # faithful per-epoch reseed
+            tr_losses = []                      # device arrays; sync once/epoch
             for i, batch in enumerate(batcher.epoch(e)):
                 inputs = self._replicate(prepare_inputs(cfg, batch))
-                params, opt, _, _ = self._train_step(
+                params, opt, loss_tr, _ = self._train_step(
                     params, opt, inputs, jax.random.fold_in(key, i), freeze)
+                tr_losses.append(loss_tr)
+            train_loss_k = np.mean(
+                np.stack([np.asarray(l) for l in tr_losses]), axis=0)
 
             # stacked eval over the test split
             losses, preds_all, labels = [], [], []
@@ -265,8 +269,10 @@ class VmapSweep:
                 a = round(M.accuracy(labels, preds[k]) * 100, 2)
                 all_f[k].append(f)
                 all_a[k].append(a)
-                history[k].append(dict(epoch=e, test_fscore=f, test_acc=a,
-                                       test_loss=round(float(loss_k[k]), 4)))
+                history[k].append(dict(
+                    epoch=e, train_loss=round(float(train_loss_k[k]), 4),
+                    test_fscore=f, test_acc=a,
+                    test_loss=round(float(loss_k[k]), 4)))
                 if freeze[k] > 0:
                     continue
                 if e == 0 or f > best_f[k]:
