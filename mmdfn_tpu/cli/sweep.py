@@ -72,8 +72,10 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=2021)
     ap.add_argument("--vmap", action="store_true", default=False,
                     help="train same-shape configs simultaneously via "
-                         "stacked parameters (measured ~3x faster than "
-                         "sequential on one v5e chip)")
+                         "stacked parameters (fused-kernel path: ~2x the "
+                         "aggregate throughput of running configs one at a "
+                         "time on one v5e chip; knee K=2-4, "
+                         "SWEEP_BENCH_r04.json)")
     ap.add_argument("--n_data_devices", type=int, default=0,
                     help="with --vmap: shard the stacked config axis over "
                          "this many devices (config parallelism; each device "
