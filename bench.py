@@ -153,7 +153,6 @@ def main():
     # quoted from it conflate contention luck with real wins (VERDICT r3
     # weak #5).  The best window still travels in the JSON.
     med_ok = median_dt if median_dt >= floor else blocked_dt
-    dt = best_dt if best_dt >= floor else blocked_dt
     dps = BATCH / med_ok
     # blocked_dps (tunnel-round-trip-inclusive median) and window_spread
     # (max/min over the 5 pipelined windows) expose run-to-run variance so
@@ -170,7 +169,11 @@ def main():
         "vs_baseline": round(dps / TORCH_CPU_BASELINE_DPS, 2),
         "baseline_dps": TORCH_CPU_BASELINE_DPS,
         "baseline_date": TORCH_CPU_BASELINE_DATE,
-        "best_window_dps": round(BATCH / dt, 2),
+        # raw best window, always consistent with window_dps; best_window_ok
+        # says whether it cleared the ghost floor (False = async-ghost
+        # reading; quote the median/blocked numbers instead)
+        "best_window_dps": round(BATCH / best_dt, 2),
+        "best_window_ok": bool(best_dt >= floor),
         "blocked_dps": round(BATCH / blocked_dt, 2),
         "device_busy_ms": device_busy_ms,
         "window_dps": [round(BATCH / w, 2) for w in windows],

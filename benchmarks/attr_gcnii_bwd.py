@@ -142,8 +142,11 @@ def main():
     all_ab = ABLATIONS[-1]
     comp["sum_of_components"] = round(sum(
         (times[""] - times[a]) * 1e3 for a in ABLATIONS[1:-1]), 3)
-    comp["all_ablated_bwd_ms"] = round((times[all_ab] - t_fwd) * 1e3, 3)
+    # bwd time left with every named component ablated IS the remainder
     comp["remainder_ms"] = round((times[all_ab] - t_fwd) * 1e3, 3)
+    # cross-check: bwd_ms should ~= sum_of_components + remainder_ms
+    comp["attribution_gap_ms"] = round(
+        base_bwd * 1e3 - comp["sum_of_components"] - comp["remainder_ms"], 3)
     rows["components"] = comp
     rows["floors"] = analytic_floors()
     rows["note"] = ("remainder = serial recompute + input-grad dot chain + "

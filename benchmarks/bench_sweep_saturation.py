@@ -31,6 +31,12 @@ sys.path.insert(0, ".")
 from bench import BUCKET, PRODUCTION_CONFIG, make_batch  # noqa: E402
 
 KS = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8]
+# sweep-leg backends: the fused train kernels riding jax.vmap vs the bf16
+# XLA scans (the committed artifact carries both; pass 'pallas' or 'scan'
+# on argv to run one).  The batch leg always uses the production kernels.
+BACKENDS = [a for a in sys.argv[1:] if a in ("pallas", "scan")] \
+    or ["pallas", "scan"]
+SCAN_OVERRIDES = dict(gcn_backend=None, rnn_backend=None, gcn_bwd_block=None)
 B = 32                       # per-config batch (the flagship bench batch)
 B_LEG = [64, 128]            # batch-scaling leg (K=1); 32 == the K=1 row
 ROUNDS, STEPS = 5, 12
@@ -43,40 +49,14 @@ V5E_PEAK_BF16_FLOPS = 197e12
 
 def device_busy_ms(run10, label):
     """On-device busy ms/step from a 10-step profiler trace (None if the
-    xplane tooling is absent — same parse as bench.py)."""
-    import glob
-    import tempfile
+    xplane tooling is absent — the shared parse in runtime/profiling.py)."""
+    from mmdfn_tpu.runtime import profiling
 
-    import jax
-
-    try:
-        trace_dir = tempfile.mkdtemp(prefix=f"sweep_trace_{label}_")
-        with jax.profiler.trace(trace_dir):
-            run10()
-        try:
-            from xprof.convert import raw_to_tool_data
-        except ImportError:
-            from tensorboard_plugin_profile.convert import raw_to_tool_data
-        paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb",
-                                 recursive=True))
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            [paths[-1]], "framework_op_stats", {})
-        table = json.loads(data.decode() if isinstance(data, bytes)
-                           else data)[0]
-        ids = [c["id"] for c in table["cols"]]
-
-        def col(row, name):
-            v = row["c"][ids.index(name)]
-            return v["v"] if v else None
-
-        busy_us = sum(float(col(r, "total_self_time") or 0.0)
-                      for r in table["rows"]
-                      if col(r, "host_or_device") == "Device"
-                      and col(r, "type") != "IDLE")
-        return round(busy_us / 1e4, 3)
-    except Exception as e:
-        print(f"[{label}] profiler unavailable: {e}", flush=True)
+    total = profiling.device_busy_ms(run10)
+    if total is None:
+        print(f"[{label}] profiler unavailable", flush=True)
         return None
+    return round(total / 10, 3)
 
 
 def build_sweep_variant(K, rng, key, overrides):
@@ -164,19 +144,26 @@ def main():
     key = jax.random.PRNGKey(0)
 
     variants, failures = [], []
-    for K in KS:
-        try:
-            variants.append(build_sweep_variant(K, rng, key, {}))
-        except Exception as e:      # OOM-tolerant: record, keep going
-            print(f"[K={K}] FAILED: {type(e).__name__}: {e}", flush=True)
-            failures.append(dict(kind="sweep", K=K, B=B,
-                                 error=f"{type(e).__name__}: {e}"))
+    for backend in BACKENDS:
+        overrides = {} if backend == "pallas" else SCAN_OVERRIDES
+        for K in KS:
+            try:
+                v = build_sweep_variant(K, rng, key, overrides)
+                v["backend"] = backend
+                variants.append(v)
+            except Exception as e:  # OOM-tolerant: record, keep going
+                print(f"[{backend} K={K}] FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+                failures.append(dict(kind="sweep", K=K, B=B, backend=backend,
+                                     error=f"{type(e).__name__}: {e}"))
     for Bv in B_LEG:
         try:
-            variants.append(build_batch_variant(Bv, rng, key, {}))
+            v = build_batch_variant(Bv, rng, key, {})
+            v["backend"] = "pallas"
+            variants.append(v)
         except Exception as e:
             print(f"[B={Bv}] FAILED: {type(e).__name__}: {e}", flush=True)
-            failures.append(dict(kind="batch", K=1, B=Bv,
+            failures.append(dict(kind="batch", K=1, B=Bv, backend="pallas",
                                  error=f"{type(e).__name__}: {e}"))
 
     # interleaved rounds: blocked singles + pipelined windows
@@ -201,12 +188,13 @@ def main():
             for i in range(10):
                 s, loss = v["step"](s, 50_000 + i)
             jax.block_until_ready(loss)
-        busy = device_busy_ms(run10, f"{v['kind']}K{v['K']}B{v['B']}")
+        busy = device_busy_ms(
+            run10, f"{v['backend']}_{v['kind']}K{v['K']}B{v['B']}")
         best = min(v["windows"])
         med = sorted(v["windows"])[len(v["windows"]) // 2]
         bl = sorted(v["blocked"])[len(v["blocked"]) // 2]
         row = dict(
-            kind=v["kind"], K=v["K"], B=v["B"],
+            kind=v["kind"], K=v["K"], B=v["B"], backend=v["backend"],
             dia_per_step=v["dia_per_step"],
             ms_per_step_best=round(best * 1e3, 3),
             ms_per_step_median=round(med * 1e3, 3),
@@ -224,25 +212,36 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    sweep_rows = [r for r in rows if r["kind"] == "sweep"]
-    knee = None
-    for a, b in zip(sweep_rows, sweep_rows[1:]):
-        gain = b["agg_dps_median"] / max(a["agg_dps_median"], 1e-9)
-        scale = b["K"] / a["K"]
-        if gain < 1 + 0.5 * (scale - 1):    # <50% of linear marginal gain
-            knee = a["K"]
-            break
+    def knee_of(backend):
+        # argv may list Ks in any order; the pairwise scan needs ascending
+        srows = sorted((r for r in rows
+                        if r["kind"] == "sweep" and r["backend"] == backend),
+                       key=lambda r: r["K"])
+        for a, b in zip(srows, srows[1:]):
+            gain = b["agg_dps_median"] / max(a["agg_dps_median"], 1e-9)
+            scale = b["K"] / a["K"]
+            if gain < 1 + 0.5 * (scale - 1):  # <50% of linear marginal gain
+                return a["K"]
+        return None
 
     out = dict(
         metric="vmapped multi-config sweep saturation "
                f"(flagship step, B={B}/config, L<=80, "
                f"{PRODUCTION_CONFIG['Deep_GCN_nlayers']} GCNII layers, "
                f"{jax.devices()[0].platform})",
-        rows=rows, failures=failures, knee_K=knee,
+        note=("two measured backends for the vmapped multi-config sweep: "
+              "'pallas' = the fused train kernels riding jax.vmap's config "
+              "grid axis, 'scan' = the bf16 XLA scans.  flops_per_step is "
+              "XLA-visible only (pallas custom-call FLOPs are invisible to "
+              "cost_analysis), so pct_peak is comparable within a backend, "
+              "not across; busy/blocked/window timings are."),
+        rows=rows, failures=failures,
+        knee_K_pallas=knee_of("pallas"), knee_K_scan=knee_of("scan"),
         config=dict(PRODUCTION_CONFIG), rounds=ROUNDS, window_steps=STEPS)
     with open(OUT, "w") as f:
         f.write(json.dumps(out) + "\n")
-    print(f"\nwrote {OUT}; knee_K={knee}", flush=True)
+    print(f"\nwrote {OUT}; knee_K_pallas={out['knee_K_pallas']} "
+          f"knee_K_scan={out['knee_K_scan']}", flush=True)
 
 
 if __name__ == "__main__":

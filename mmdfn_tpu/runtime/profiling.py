@@ -108,7 +108,9 @@ def device_busy_ms(run) -> Optional[float]:
     """
     import glob
     import json as _json
+    import shutil
     import tempfile
+    trace_dir = None
     try:
         trace_dir = tempfile.mkdtemp(prefix="busy_trace_")
         with jax.profiler.trace(trace_dir):
@@ -136,6 +138,11 @@ def device_busy_ms(run) -> Optional[float]:
         return busy_us / 1e3
     except Exception:
         return None
+    finally:
+        # the xplane dump is fully parsed before return; traces are MBs
+        # and this runs once per bucket per latency run — don't leak them
+        if trace_dir is not None:
+            shutil.rmtree(trace_dir, ignore_errors=True)
 
 
 def enable_compilation_cache(path: Optional[str] = None,

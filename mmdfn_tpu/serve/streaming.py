@@ -206,7 +206,10 @@ def measure_latency(trainer: Trainer, state: TrainState, dialogues,
                device_ms_by_bucket={str(k): round(v, 3) for k, v
                                     in device_ms_by_bucket.items()})
     if busy_ms_by_bucket:
-        busy_ms = np.asarray([busy_ms_by_bucket[b] for b in used_buckets])
+        # index only the buckets whose trace succeeded: a transient xplane
+        # failure on one bucket must not discard the whole artifact
+        busy_ms = np.asarray([busy_ms_by_bucket[b] for b in used_buckets
+                              if b in busy_ms_by_bucket])
         out["device_busy_p50_ms"] = p(busy_ms, 50)
         out["device_busy_ms_by_bucket"] = {
             str(k): round(v, 3) for k, v in busy_ms_by_bucket.items()}

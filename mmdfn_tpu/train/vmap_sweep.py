@@ -248,8 +248,11 @@ class VmapSweep:
                 params, opt, loss_tr, _ = self._train_step(
                     params, opt, inputs, jax.random.fold_in(key, i), freeze)
                 tr_losses.append(loss_tr)
-            train_loss_k = np.mean(
-                np.stack([np.asarray(l) for l in tr_losses]), axis=0)
+            # an epoch with zero train batches (empty split / all dialogues
+            # outside the buckets) trains nothing but must still eval
+            train_loss_k = (np.mean(np.stack([np.asarray(l)
+                                              for l in tr_losses]), axis=0)
+                            if tr_losses else np.full(K, np.nan))
 
             # stacked eval over the test split
             losses, preds_all, labels = [], [], []
