@@ -13,6 +13,13 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pad_to(a, *dims):
+    """Zero-pad each trailing edge of ``a`` up to the given per-axis sizes
+    (the kernel-operand tile-alignment pad; dims must be >= a.shape)."""
+    import jax.numpy as jnp
+    return jnp.pad(a, [(0, d - s) for s, d in zip(a.shape, dims)])
+
+
 def on_tpu() -> bool:
     """True when the PROCESS-DEFAULT backend is a TPU.
 

@@ -50,7 +50,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mmdfn_tpu.ops._util import round_up
+from mmdfn_tpu.ops._util import pad_to as pad, round_up
 
 
 def _kernel(adj_ref, h_ref, h0_ref, w1_ref, w2_ref, theta_ref,
@@ -112,8 +112,6 @@ def gcnii_stack_fused(adj: jnp.ndarray, h: jnp.ndarray, h0: jnp.ndarray,
     Np = round_up(N, 128)
     Hp = round_up(H, 128)
 
-    pad = lambda a, *dims: jnp.pad(a, [(0, d - s) for s, d in
-                                       zip(a.shape, dims)])
     adj_p = pad(adj.astype(jnp.float32), B, Np, Np)
     h_p = pad(h.astype(jnp.float32), B, Np, Hp)
     h0_p = pad(h0.astype(jnp.float32), B, Np, Hp)

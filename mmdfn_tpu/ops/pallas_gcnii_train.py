@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mmdfn_tpu.ops._util import round_up
+from mmdfn_tpu.ops._util import pad_to as pad, round_up
 
 _MASK64 = (1 << 32) - 1
 
@@ -652,8 +652,6 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
     Hp = round_up(H, 128)
     bf = jnp.bfloat16
 
-    pad = lambda a, *dims: jnp.pad(a, [(0, d - s) for s, d in
-                                       zip(a.shape, dims)])
     adj_p = pad(adj.astype(bf), B, Np, Np)
     he_p = pad(h_entry.astype(jnp.float32), B, Np, Hp)
     h0_p = pad(h0.astype(bf), B, Np, Hp)

@@ -169,29 +169,30 @@ def measure_latency(trainer: Trainer, state: TrainState, dialogues,
     D_t, D_a, D_v = session._dims
     zt, za, zv = (jnp.zeros(D, jnp.float32) for D in (D_t, D_a, D_v))
     K = 20
-    for b in sorted(set(used_buckets)):
-        bufs = session._zero_bufs()
-        bufs, lp = session._append_predict(session.params, bufs, zt, za, zv,
-                                           0, 0, L=b)
-        jax.block_until_ready(lp)
-        t0 = time.perf_counter()
+
+    def run_k_appends(b, bufs=None):
+        # one chained-K-append body shared by the wall-clock and profiler
+        # passes, so both readings time the exact same append program;
+        # buffer init stays OUTSIDE the wall-clock window (pass bufs in)
+        # to keep device_ms comparable with the r02/r03 artifacts
+        if bufs is None:
+            bufs = session._zero_bufs()
         for _ in range(K):
             bufs, lp = session._append_predict(session.params, bufs,
                                                zt, za, zv, 0, 0, L=b)
         jax.block_until_ready(lp)
+        return bufs
+
+    for b in sorted(set(used_buckets)):
+        bufs = run_k_appends(b)              # warm the per-bucket executable
+        t0 = time.perf_counter()
+        run_k_appends(b, bufs)
         device_ms_by_bucket[b] = (time.perf_counter() - t0) / K * 1e3
 
         # profiler-measured on-device busy time per append: sums what the
         # chip actually executed, so tunnel RTT and dispatch overhead
         # cannot contaminate it (None rows dropped when tooling is absent)
-        def _k_appends(b=b):
-            bufs = session._zero_bufs()
-            for _ in range(K):
-                bufs, lp = session._append_predict(session.params, bufs,
-                                                   zt, za, zv, 0, 0, L=b)
-            jax.block_until_ready(lp)
-
-        busy = profiling.device_busy_ms(_k_appends)
+        busy = profiling.device_busy_ms(lambda: run_k_appends(b))
         if busy:        # None = no tooling; 0.0 = no device rows (CPU)
             busy_ms_by_bucket[b] = busy / K
     dev_ms = np.asarray([device_ms_by_bucket[b] for b in used_buckets])

@@ -348,7 +348,20 @@ class Trainer:
             all_preds.append((preds, m))
             losses.append(loss)
             mask_sums.append(float(m.sum()))
-        losses = [float(l) for l in losses]          # syncs the whole epoch
+        # epoch-end sync: enqueue ALL D2H copies first so the transfers
+        # pipeline, then read — per-item float()/np.asarray() alone would
+        # pay one blocking round-trip per batch over a tunneled chip
+        for l in losses:
+            if hasattr(l, "copy_to_host_async"):
+                l.copy_to_host_async()
+        for p, _ in all_preds:
+            if hasattr(p, "copy_to_host_async"):
+                p.copy_to_host_async()
+        for hists in hist_rows:
+            jax.tree_util.tree_map(
+                lambda a: a.copy_to_host_async()
+                if hasattr(a, "copy_to_host_async") else None, hists)
+        losses = [float(l) for l in losses]
         all_preds = [np.asarray(p).reshape(-1)[m] for p, m in all_preds]
         meter.stop(n_dia_total, n_utt_total)
         if hist_rows and self.grad_hist_sink is not None:

@@ -108,11 +108,33 @@ class VmapSweep:
 
     def __init__(self, base_cfg: ExperimentConfig, combos: Sequence[dict],
                  mesh=None):
-        static, dynamic = {}, []
-        for k, v in combos[0].items():
-            if all(c.get(k) == v for c in combos) and k not in ("lr", "l2",
-                                                               "gamma"):
-                static[k] = v
+        # only lr/l2/gamma can be stacked along the vmapped config axis
+        # (they enter the step as per-config scalars); any other key must be
+        # identical across the group — fold it into the shared config.  A
+        # key that VARIES outside the stackable set would otherwise train K
+        # copies of the base value while reporting the asked-for grid:
+        # silently wrong sweep science, so refuse loudly.
+        STACKABLE = ("lr", "l2", "gamma")
+        static = {}
+        keys = {k for c in combos for k in c}
+        for k in keys:
+            vals = [c.get(k) for c in combos]
+            if k in STACKABLE:
+                # gamma falls back to base_cfg.gamma; lr/l2 must be present
+                # in EVERY combo or the stack build below dies in a bare
+                # KeyError with no hint of which combo is malformed
+                if k != "gamma" and any(k not in c for c in combos):
+                    raise ValueError(
+                        f"stackable combo key {k!r} is missing from "
+                        f"{sum(k not in c for c in combos)} of "
+                        f"{len(combos)} combos; every combo needs it")
+                continue
+            if any(v != vals[0] for v in vals):
+                raise ValueError(
+                    f"combo key {k!r} varies across the group but only "
+                    f"{STACKABLE} can be stacked; run it as a separate "
+                    "group (run_grouped_sweep splits on static_keys)")
+            static[k] = vals[0]
         self.combos = list(combos)
         self.real_K = len(combos)
         self.mesh = mesh
@@ -250,22 +272,35 @@ class VmapSweep:
                 tr_losses.append(loss_tr)
             # an epoch with zero train batches (empty split / all dialogues
             # outside the buckets) trains nothing but must still eval
+            for l in tr_losses:
+                if hasattr(l, "copy_to_host_async"):
+                    l.copy_to_host_async()   # pipeline the D2H transfers
             train_loss_k = (np.mean(np.stack([np.asarray(l)
                                               for l in tr_losses]), axis=0)
                             if tr_losses else np.full(K, np.nan))
 
-            # stacked eval over the test split
-            losses, preds_all, labels = [], [], []
+            # stacked eval over the test split: dispatch every batch async,
+            # sync once after the loop (a per-batch np.asarray would pay two
+            # blocking D2H round-trips per batch over the tunnel)
+            losses, preds_all, masks, labels = [], [], [], []
             for batch in test_batches:
                 inputs = self._replicate(prepare_inputs(cfg, batch))
                 loss_k, preds_k = self._eval_step(params, inputs)
-                m = batch.umask.reshape(-1) > 0
-                losses.append(np.asarray(loss_k))
-                preds_all.append(np.asarray(preds_k).reshape(K, -1)[:, m])
-                labels.append(batch.label.reshape(-1)[m])
-            labels = np.concatenate(labels)
-            preds = np.concatenate(preds_all, axis=1)
-            loss_k = np.mean(np.stack(losses), axis=0)
+                losses.append(loss_k)
+                preds_all.append(preds_k)
+                masks.append(batch.umask.reshape(-1) > 0)
+                labels.append(batch.label.reshape(-1))
+            for a in (*losses, *preds_all):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()   # pipeline the D2H transfers
+            labels = np.concatenate(
+                [l[m] for l, m in zip(labels, masks)])
+            preds = np.concatenate(
+                [np.asarray(p).reshape(K, -1)[:, m]
+                 for p, m in zip(preds_all, masks)], axis=1)
+            loss_k = np.mean(np.stack([np.asarray(l) for l in losses]),
+                             axis=0)
+            freeze_host = np.asarray(freeze)    # one read, not K per epoch
 
             for k in range(K):
                 f = round(M.f1_score(labels, preds[k], n_classes) * 100, 2)
@@ -276,7 +311,7 @@ class VmapSweep:
                     epoch=e, train_loss=round(float(train_loss_k[k]), 4),
                     test_fscore=f, test_acc=a,
                     test_loss=round(float(loss_k[k]), 4)))
-                if freeze[k] > 0:
+                if freeze_host[k] > 0:
                     continue
                 if e == 0 or f > best_f[k]:
                     best_f[k], best_epoch[k], patience[k] = f, e, 0
