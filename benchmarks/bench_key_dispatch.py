@@ -10,8 +10,6 @@ closes any of that idle.
 Run on TPU:  PYTHONPATH=. python benchmarks/bench_key_dispatch.py
 """
 
-import glob
-import json
 import sys
 import time
 
@@ -19,28 +17,6 @@ import numpy as np
 
 sys.path.insert(0, ".")
 from bench import BATCH, BUCKET, PRODUCTION_CONFIG, make_batch  # noqa: E402
-
-
-def busy_and_total(trace_dir):
-    try:
-        from xprof.convert import raw_to_tool_data
-    except ImportError:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {})
-    table = json.loads(data.decode() if isinstance(data, bytes) else data)[0]
-    ids = [c["id"] for c in table["cols"]]
-
-    def col(row, name):
-        v = row["c"][ids.index(name)]
-        return v["v"] if v else None
-
-    dev = [r for r in table["rows"] if col(r, "host_or_device") == "Device"]
-    total = sum(float(col(r, "total_self_time") or 0) for r in dev)
-    busy = sum(float(col(r, "total_self_time") or 0) for r in dev
-               if col(r, "type") != "IDLE")
-    return busy / 1e4, total / 1e4
 
 
 def main():
@@ -91,13 +67,14 @@ def main():
     print(f"wall pre-split: best {min(pre_w) * 1e3:6.2f} ms  "
           f"windows {[round(x * 1e3, 1) for x in pre_w]}")
 
-    # traced idle comparison
-    import tempfile
+    # traced idle comparison (shared xplane helper; cleans up its traces)
+    from mmdfn_tpu.runtime.profiling import device_time_ms
     for name, fn in (("fold_in", run_fold), ("pre-split", run_pre)):
-        d = tempfile.mkdtemp(prefix=f"trace_{name}_")
-        with jax.profiler.trace(d):
-            fn(name, 9)
-        busy, total = busy_and_total(d)
+        t = device_time_ms(lambda: fn(name, 9))
+        if t is None:
+            print(f"trace {name:>9}: xplane tooling unavailable")
+            continue
+        busy, total = t[0] / N, t[1] / N
         print(f"trace {name:>9}: busy {busy:.3f} ms/step, "
               f"total {total:.3f} ms/step, idle {total - busy:.3f}")
 

@@ -23,8 +23,13 @@ import numpy as np
 sys.path.insert(0, ".")
 from bench import BATCH, BUCKET, PRODUCTION_CONFIG, make_batch  # noqa: E402
 
+# trace_dir is optional: positional args are split by shape, so
+# `profile_step.py gcn_bwd_block=4` profiles the OVERRIDDEN config in the
+# default trace dir rather than silently treating the knob as a directory.
+_POSITIONAL = [a for a in sys.argv[1:] if "=" not in a]
+TRACE_DIR = _POSITIONAL[0] if _POSITIONAL else "/tmp/tpu_trace_prof"
 OVERRIDES = {}
-for _kv in [a for a in sys.argv[2:] if "=" in a]:
+for _kv in [a for a in sys.argv[1:] if "=" in a]:
     _k, _v = _kv.split("=", 1)
     try:
         OVERRIDES[_k] = ast.literal_eval(_v)
@@ -154,7 +159,7 @@ def summarize(trace_dir, top=25):
 
 
 if __name__ == "__main__":
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_trace_prof"
+    trace_dir = TRACE_DIR
     cost = capture(trace_dir)
     busy = summarize(trace_dir)
     mfu_report(cost, busy)

@@ -65,7 +65,9 @@ class FlagshipTorch(nn.Module):
         # python gather/scatter loops over batch x party (model.py:1040-1060)
         L, B, H = U.shape
         P = qmask.shape[-1]
-        U_p = torch.zeros_like(self.rnn_parties(U)[0])
+        # reference allocates plain zeros at the GRU's output width
+        # (model.py:1043) — no extra rnn_parties pass just for the shape
+        U_p = torch.zeros(L, B, 2 * self.rnn_parties.hidden_size)
         U_parties = [torch.zeros_like(U) for _ in range(P)]
         for b in range(B):
             for p in range(P):

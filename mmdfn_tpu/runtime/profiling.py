@@ -91,14 +91,15 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def device_busy_ms(run) -> Optional[float]:
-    """Total on-device busy time (ms) of everything ``run()`` executes.
+def device_time_ms(run) -> Optional[tuple]:
+    """``(busy_ms, total_ms)`` of everything ``run()`` executes on-device.
 
-    Runs the callable under a ``jax.profiler`` trace and sums the non-IDLE
-    device op self-times from the xplane ``framework_op_stats`` table —
-    the noise-free timing used by ``bench.py`` and the serving latency
-    artifact: it measures what the chip executed, so tunnel RTT and host
-    dispatch overheads cannot contaminate it.  Returns None when the
+    Runs the callable under a ``jax.profiler`` trace and sums device op
+    self-times from the xplane ``framework_op_stats`` table: ``busy_ms``
+    excludes IDLE rows (the noise-free timing used by ``bench.py`` and the
+    serving latency artifact — tunnel RTT and host dispatch overheads
+    cannot contaminate it); ``total_ms`` includes IDLE, so
+    ``total - busy`` is the traced on-device idle.  Returns None when the
     xplane tooling (xprof / tensorboard_plugin_profile) is unavailable or
     the trace fails; callers must treat that as "no device reading".
 
@@ -131,11 +132,12 @@ def device_busy_ms(run) -> Optional[float]:
             v = row["c"][ids.index(name)]
             return v["v"] if v else None
 
-        busy_us = sum(float(col(r, "total_self_time") or 0.0)
-                      for r in table["rows"]
-                      if col(r, "host_or_device") == "Device"
-                      and col(r, "type") != "IDLE")
-        return busy_us / 1e3
+        dev = [r for r in table["rows"]
+               if col(r, "host_or_device") == "Device"]
+        total_us = sum(float(col(r, "total_self_time") or 0.0) for r in dev)
+        busy_us = sum(float(col(r, "total_self_time") or 0.0) for r in dev
+                      if col(r, "type") != "IDLE")
+        return busy_us / 1e3, total_us / 1e3
     except Exception:
         return None
     finally:
@@ -143,6 +145,12 @@ def device_busy_ms(run) -> Optional[float]:
         # and this runs once per bucket per latency run — don't leak them
         if trace_dir is not None:
             shutil.rmtree(trace_dir, ignore_errors=True)
+
+
+def device_busy_ms(run) -> Optional[float]:
+    """Non-IDLE on-device time (ms) of ``run()``; see ``device_time_ms``."""
+    t = device_time_ms(run)
+    return None if t is None else t[0]
 
 
 def enable_compilation_cache(path: Optional[str] = None,

@@ -52,7 +52,7 @@ def _xla_ref(adj, he, h0, W, theta, lih, lhh, lb, reason, alpha=ALPHA):
         else:
             h1 = h
         hi = jnp.einsum("bnm,bmh->bnh", adjb, bf(h1))
-        support = (jnp.einsum("bnh,hk->bnk", bf(hi), bf(W[l, :H // 1][:H]))
+        support = (jnp.einsum("bnh,hk->bnk", bf(hi), bf(W[l, :H]))
                    + jnp.einsum("bnh,hk->bnk", h0b, bf(W[l, H:])))
         r = (1 - alpha) * hi + alpha * h0b
         h = jnp.maximum(theta[l] * support + (1 - theta[l]) * r, 0.0)
@@ -192,9 +192,12 @@ def test_bwd_batch_block_matches_unblocked(rng, bk, fuse):
 def test_dropout_semantics(rng):
     B, N, H, NL = 2, 24, 12, 2
     adj, he, h0, W, theta, lih, lhh, lb = _inputs(rng, B, N, H, NL)
+    # interpret=False: this test only runs on hardware (skipif above), and
+    # interpret=True would route through the TPU interpreter whose PRNG
+    # stub returns zeros (all-keep) even on a TPU backend.
     run = lambda seed, rate: gcnii_stack_train(
         adj, he, h0, W, theta, lih, lhh, lb, alpha=ALPHA, reason=True,
-        rate=rate, seed=seed, interpret=True)
+        rate=rate, seed=seed, interpret=False)
 
     a1, a2, b1 = run(7, 0.5), run(7, 0.5), run(8, 0.5)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
@@ -204,10 +207,10 @@ def test_dropout_semantics(rng):
     # final output mixes masks, so measure via a single-layer run
     one = gcnii_stack_train(adj, he, h0, W[:1], theta[:1], lih, lhh, lb,
                             alpha=ALPHA, reason=False, rate=0.5, seed=3,
-                            interpret=True)
+                            interpret=False)
     ref = gcnii_stack_train(adj, he, h0, W[:1], theta[:1], lih, lhh, lb,
                             alpha=ALPHA, reason=False, rate=0.0, seed=3,
-                            interpret=True)
+                            interpret=False)
     # positions where ref is strictly positive can be zeroed only by the
     # mask; their zero-fraction estimates the drop rate
     pos = np.asarray(ref) > 1e-6

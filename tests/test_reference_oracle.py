@@ -342,8 +342,9 @@ def build_ours(nlayers, dropout, dataset="IEMOCAP", av_using_lstm=False,
     ("MELD", 64, 1e-3),     # the deepest published config
                             # (run_train_me.sh:21, GCN_LAYERS="64 32 16");
                             # exercises the 64-step theta ladder + reason
-                            # chain past the pallas kernel's nlayers<=32
-                            # gate (nn/gcn.py), i.e. the scan fallback
+                            # chain on the scan path (build_ours never sets
+                            # gcn_backend; the pallas kernel itself now
+                            # supports nlayers<=64, see nn/gcn.py)
 ])
 def test_forward_matches_real_reference(rng, dataset, nlayers, atol):
     B, L = 3, 7

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from mmdfn_tpu.config import ExperimentConfig
 from mmdfn_tpu.data.batching import BucketBatcher
-from mmdfn_tpu.data.datasets import IEMOCAPDataset, train_valid_split
+from mmdfn_tpu.data.datasets import IEMOCAPDataset
 from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
 from mmdfn_tpu.runtime import checkpoint as ckpt
 from mmdfn_tpu.runtime.mesh import make_mesh
@@ -150,9 +150,8 @@ def test_prepare_inputs_concat_dispatch(synthetic_data):
                                batch.audio)
 
 
-def test_valid_split_semantics():
-    tr, va = train_valid_split(10, 0.2)
-    assert va == [0, 1] and tr == list(range(2, 10))
+# valid-split semantics are covered by tests/test_data.py::
+# test_train_valid_split (a strict superset incl. valid_rate=0.0).
 
 
 def test_meld_end_to_end(tmp_path):

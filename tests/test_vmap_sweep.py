@@ -39,6 +39,30 @@ def test_group_combos_partitions_by_static_keys():
     assert set(static) == {"Deep_GCN_nlayers", "dropout"}
 
 
+def test_vmap_refuses_non_stackable_varying_key():
+    """A combo key outside lr/l2/gamma that VARIES across the group must be
+    refused loudly (it used to be silently trained at the base value while
+    results reported the asked-for grid)."""
+    with pytest.raises(ValueError, match="dropout"):
+        VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4, dropout=0.2),
+                               dict(lr=1e-4, l2=1e-4, dropout=0.4)])
+    # identical across the group is fine: folded into the shared config
+    sweep = VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4, dropout=0.2),
+                                   dict(lr=3e-4, l2=1e-4, dropout=0.2)])
+    assert sweep.cfg.dropout == 0.2
+
+
+def test_vmap_diagnoses_missing_stackable_key():
+    """lr/l2 missing from SOME combo is a construction-time ValueError naming
+    the key, not a bare KeyError mid-stack-build."""
+    with pytest.raises(ValueError, match="'l2'"):
+        VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4),
+                               dict(lr=3e-4)])
+    # gamma is optional (falls back to base_cfg.gamma)
+    VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4, gamma=1.0),
+                           dict(lr=3e-4, l2=1e-4)])
+
+
 def test_vmap_group_matches_single_config(data):
     """A config trained inside a vmapped group must match training it alone
     (dropout off so the rng streams are irrelevant)."""
