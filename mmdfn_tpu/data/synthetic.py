@@ -54,6 +54,75 @@ def make_synthetic_iemocap_pickle(
     return train_vids, test_vids
 
 
+def make_separable_iemocap_pickle(
+    path: str,
+    n_train: int = 24,
+    n_test: int = 8,
+    min_len: int = 4,
+    max_len: int = 16,
+    n_classes: int = 6,
+    seed: int = 0,
+    noise: float = 0.25,
+    speaker_shift: float = 1.0,
+) -> Tuple[list, list]:
+    """Write an IEMOCAP-format pickle whose labels are LEARNABLE.
+
+    Unlike :func:`make_synthetic_iemocap_pickle` (labels independent of
+    features — only memorization is possible), every utterance's features
+    are a per-class prototype plus noise, with an additive per-speaker
+    nuisance shift, so the emotion is a deterministic function of the
+    features and generalizes to held-out dialogues:
+
+    ``feat_m[t] = proto_m[y_t] + speaker_shift * spk_m[s_t] + noise * eps``
+
+    Prototypes are unit-norm random directions per modality; at the default
+    ``noise=0.25`` the Bayes error is ~0, so a correct end-to-end pipeline
+    must reach ~100% weighted F1 on BOTH splits — the build-side stand-in
+    for the reference's continuous empirical-evaluation regime
+    (``code/run_train_erc.py:558-581``; the real feature pickles are absent
+    from the mount, ``/root/reference/.MISSING_LARGE_BLOBS``).  Any
+    optimizer-wiring, masking, or quirk-interaction bug that only shows up
+    over a real training run fails this where random-label fixtures can't.
+    """
+    rng = np.random.default_rng(seed)
+    D_t, D_a, D_v = FEAT2DIM["textCNN"], FEAT2DIM["IS10"], FEAT2DIM["denseface"]
+
+    def protos(n, D):
+        p = rng.standard_normal((n, D))
+        return (p / np.linalg.norm(p, axis=1, keepdims=True)).astype(np.float32)
+
+    proto = {m: protos(n_classes, D) for m, D in
+             (("t", D_t), ("a", D_a), ("v", D_v))}
+    spk_shift = {m: protos(2, D) * speaker_shift for m, D in
+                 (("t", D_t), ("a", D_a), ("v", D_v))}
+
+    videoIDs, videoSpeakers, videoLabels = {}, {}, {}
+    videoText, videoAudio, videoVisual, videoSentence = {}, {}, {}, {}
+    train_vids, test_vids = [], []
+    for i, L in enumerate(_dialogue_lengths(rng, n_train + n_test,
+                                            min_len, max_len)):
+        vid = f"Ses0{i}"
+        spk_idx = rng.integers(0, 2, size=L)
+        labels = rng.integers(0, n_classes, size=L)
+        videoIDs[vid] = [f"{vid}_utt{j}" for j in range(L)]
+        videoSpeakers[vid] = ["MF"[s] for s in spk_idx]
+        videoLabels[vid] = [int(y) for y in labels]
+        feats = {}
+        for m, D in (("t", D_t), ("a", D_a), ("v", D_v)):
+            eps = rng.standard_normal((L, D)).astype(np.float32)
+            feats[m] = (proto[m][labels] + spk_shift[m][spk_idx]
+                        + noise * eps).astype(np.float32)
+        videoText[vid], videoAudio[vid], videoVisual[vid] = (
+            feats["t"], feats["a"], feats["v"])
+        videoSentence[vid] = [f"utterance {j}" for j in range(L)]
+        (train_vids if i < n_train else test_vids).append(vid)
+    payload = (videoIDs, videoSpeakers, videoLabels, videoText, videoAudio,
+               videoVisual, videoSentence, train_vids, test_vids)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return train_vids, test_vids
+
+
 def make_synthetic_meld_pickle(
     path: str,
     n_train: int = 8,
