@@ -109,8 +109,11 @@ def main(argv=None) -> int:
         if args.n_data_devices:
             from mmdfn_tpu.runtime.mesh import make_mesh
             mesh = make_mesh(n_data=args.n_data_devices)
+        # per-group checkpoints under out_dir: a preempted --vmap sweep
+        # resumes mid-group and skips finished groups (same contract as the
+        # sequential path below)
         results = run_grouped_sweep(base, todo, train, test, verbose=True,
-                                    mesh=mesh)
+                                    mesh=mesh, save_dir=out_dir, resume=True)
         with open(summary_path, "a") as f:
             for res in results:
                 for k, combo in enumerate(res.combos):

@@ -239,8 +239,33 @@ class VmapSweep:
         return train_step, eval_step
 
     # ------------------------------------------------------------------
-    def run(self, train_dialogues, test_dialogues,
-            verbose: bool = True) -> GroupResult:
+    def _result(self, best_epoch, all_f, all_a, history) -> GroupResult:
+        R = self.real_K                      # drop sharding-padding entries
+        return GroupResult(
+            combos=self.combos,
+            best_epoch=[int(b) for b in best_epoch[:R]],
+            best_test_fscore=[all_f[k][best_epoch[k]] for k in range(R)],
+            best_test_acc=[all_a[k][best_epoch[k]] for k in range(R)],
+            history=history[:R])
+
+    def run(self, train_dialogues, test_dialogues, verbose: bool = True,
+            save_dir: Optional[str] = None,
+            resume: bool = False) -> GroupResult:
+        """Train the group; with ``save_dir``, preemption-safe.
+
+        Every epoch writes a ``last`` checkpoint (stacked params + Adam
+        state + the per-config selection counters) and completion writes a
+        ``final`` marker carrying the :class:`GroupResult`, mirroring the
+        sequential sweep's skip-complete/resume contract
+        (``cli/sweep.py``; SURVEY §5.3 — the reference's bash grid,
+        ``script/run_train_ie.sh:26-60``, restarts a killed combo from
+        scratch).  ``resume=True`` restores and continues from the next
+        epoch; the resumed run is step-identical to an uninterrupted one
+        (per-epoch RNG is derived from the epoch-independent seed and the
+        batcher reshuffle is a pure function of the epoch index).
+        """
+        from mmdfn_tpu.runtime import checkpoint as ckpt_lib
+
         cfg = self.cfg
         info = cfg.info
         K = self.K
@@ -250,6 +275,20 @@ class VmapSweep:
                                 shuffle=True, seed=cfg.seed)
         test_batches = list(BucketBatcher(test_dialogues, cfg.batch_size,
                                           info["n_speakers"], cfg.buckets))
+        if resume and save_dir and ckpt_lib.has_checkpoint(save_dir, "final"):
+            meta = ckpt_lib.read_meta(save_dir, "final")
+            if meta.get("combos") != self.combos:
+                raise ValueError(
+                    f"final checkpoint under {save_dir!r} was written for a "
+                    "different combo group; point each group at its own "
+                    "save_dir")
+            if verbose:
+                print(f"group already complete under {save_dir!r} — skipping")
+            return GroupResult(combos=self.combos,
+                               best_epoch=meta["best_epoch"],
+                               best_test_fscore=meta["best_test_fscore"],
+                               best_test_acc=meta["best_test_acc"],
+                               history=meta["history"])
         params, opt = self.init_states()
         freeze = self._shard_k(jnp.asarray(self._pad_mask, jnp.float32))
 
@@ -261,8 +300,37 @@ class VmapSweep:
         all_f: List[List[float]] = [[] for _ in range(K)]
         all_a: List[List[float]] = [[] for _ in range(K)]
         history: List[List[dict]] = [[] for _ in range(K)]
+        start_epoch = 0
 
-        for e in range(cfg.epochs):
+        if resume and save_dir and ckpt_lib.has_checkpoint(save_dir, "last"):
+            (params, opt), meta = ckpt_lib.restore_checkpoint(
+                save_dir, (params, opt), name="last")
+            if meta.get("combos") != self.combos:
+                raise ValueError(
+                    f"'last' checkpoint under {save_dir!r} was written for a "
+                    "different combo group")
+            # restore yields host numpy leaves; re-place with the config-axis
+            # sharding (donation assumes committed placement)
+            params, opt = self._shard_k(params), self._shard_k(opt)
+            r = meta["counters"]
+            start_epoch = int(meta["epoch"]) + 1
+            best_f = np.asarray(r["best_f"])
+            best_epoch = np.asarray(r["best_epoch"], dtype=int)
+            best_loss = np.asarray(r["best_loss"], dtype=np.float64)
+            patience = np.asarray(r["patience"], dtype=int)
+            patience2 = np.asarray(r["patience2"], dtype=int)
+            all_f = [list(x) for x in r["all_f"]]
+            all_a = [list(x) for x in r["all_a"]]
+            history = [list(x) for x in r["history"]]
+            stop = np.asarray(r["stop"], dtype=bool)
+            freeze = self._shard_k(jnp.asarray(stop.astype(np.float32)))
+            if verbose:
+                print(f"resumed group from epoch {start_epoch - 1} "
+                      f"({int(K - stop.sum())}/{K} configs active)")
+            if stop.all():
+                start_epoch = cfg.epochs    # had fully early-stopped already
+
+        for e in range(start_epoch, cfg.epochs):
             key = jax.random.PRNGKey(cfg.seed)  # faithful per-epoch reseed
             tr_losses = []                      # device arrays; sync once/epoch
             for i, batch in enumerate(batcher.epoch(e)):
@@ -324,6 +392,17 @@ class VmapSweep:
             stop = ((patience >= cfg.patience) & (patience2 >= cfg.patience)
                     ) | self._pad_mask
             freeze = self._shard_k(jnp.asarray(stop.astype(np.float32)))
+            if save_dir:
+                ckpt_lib.save_checkpoint(
+                    save_dir, (params, opt), name="last",
+                    meta=dict(epoch=e, combos=self.combos, counters=dict(
+                        best_f=best_f.tolist(),
+                        best_epoch=best_epoch.tolist(),
+                        best_loss=best_loss.tolist(),
+                        patience=patience.tolist(),
+                        patience2=patience2.tolist(),
+                        all_f=all_f, all_a=all_a, history=history,
+                        stop=stop.tolist())))
             if verbose:
                 print(f"epoch {e}: fscores "
                       f"{[all_f[k][-1] for k in range(K)]} "
@@ -331,26 +410,46 @@ class VmapSweep:
             if stop.all():
                 break
 
-        R = self.real_K                      # drop sharding-padding entries
-        return GroupResult(
-            combos=self.combos,
-            best_epoch=[int(b) for b in best_epoch[:R]],
-            best_test_fscore=[all_f[k][best_epoch[k]] for k in range(R)],
-            best_test_acc=[all_a[k][best_epoch[k]] for k in range(R)],
-            history=history[:R])
+        result = self._result(best_epoch, all_f, all_a, history)
+        if save_dir:
+            # the 'final' marker makes a finished group skip-complete on the
+            # next sweep invocation (sequential-path parity: cli/sweep.py)
+            ckpt_lib.save_checkpoint(
+                save_dir, (params, opt), name="final",
+                meta=dict(combos=result.combos, best_epoch=result.best_epoch,
+                          best_test_fscore=result.best_test_fscore,
+                          best_test_acc=result.best_test_acc,
+                          history=result.history))
+        return result
 
 
 def run_grouped_sweep(base_cfg: ExperimentConfig, combos: Sequence[dict],
                       train_dialogues, test_dialogues,
-                      verbose: bool = True, mesh=None) -> List[GroupResult]:
-    """Partition a sweep grid into static groups and vmap-train each."""
+                      verbose: bool = True, mesh=None,
+                      save_dir: Optional[str] = None,
+                      resume: bool = False) -> List[GroupResult]:
+    """Partition a sweep grid into static groups and vmap-train each.
+
+    With ``save_dir``, each group checkpoints under a deterministic
+    subdirectory (named by its static keys) so a preempted sweep resumes
+    mid-group and skips finished groups entirely — parity with the
+    sequential path's per-combo skip/resume (``cli/sweep.py:131-141``).
+    """
+    import os
+
     results = []
     for static, group in group_combos(combos):
         if verbose:
             where = (f" sharded over {mesh.devices.size} devices"
                      if mesh is not None else "")
             print(f"group {static}: {len(group)} configs vmapped{where}")
+        group_dir = None
+        if save_dir:
+            slug = "_".join(f"{k}{v}" for k, v in sorted(static.items())) \
+                or "base"
+            group_dir = os.path.join(save_dir, f"group_{slug}")
         cfg = dataclasses.replace(base_cfg, **static)
         sweep = VmapSweep(cfg, group, mesh=mesh)
-        results.append(sweep.run(train_dialogues, test_dialogues, verbose))
+        results.append(sweep.run(train_dialogues, test_dialogues, verbose,
+                                 save_dir=group_dir, resume=resume))
     return results

@@ -128,3 +128,47 @@ def test_vmap_sweep_mesh_pads_ragged_config_count(data):
 
     plain = VmapSweep(cfg, combos).run(train, test, verbose=False)
     assert res.history == plain.history
+
+
+def test_vmap_sweep_resume_reproduces_straight_run(data, tmp_path):
+    """Preemption safety for the vmapped sweep (VERDICT r4 missing #4):
+    2 epochs + kill + resume == 4 straight epochs, exactly; a finished
+    group skips (returns the saved result without training)."""
+    train, test = data
+    combos = [dict(lr=3e-3, l2=1e-4, gamma=0.5),
+              dict(lr=1e-4, l2=2e-4, gamma=1.0)]
+
+    straight = VmapSweep(base_cfg(epochs=4), combos).run(
+        train, test, verbose=False)
+
+    d = str(tmp_path / "group")
+    VmapSweep(base_cfg(epochs=2), combos).run(      # "preempted" after 2
+        train, test, verbose=False, save_dir=d)
+    # drop the epoch-2 'final' marker: a real preemption dies mid-run with
+    # only 'last' on disk (keeping it would exercise the skip path instead)
+    import shutil
+    shutil.rmtree(str(tmp_path / "group" / "final"))
+    resumed = VmapSweep(base_cfg(epochs=4), combos).run(
+        train, test, verbose=False, save_dir=d, resume=True)
+
+    assert resumed.history == straight.history
+    assert resumed.best_test_fscore == straight.best_test_fscore
+    assert resumed.best_epoch == straight.best_epoch
+
+    # now 'final' exists: rerunning the sweep skips training entirely and
+    # reproduces the result from the marker
+    again = VmapSweep(base_cfg(epochs=4), combos).run(
+        train, test, verbose=False, save_dir=d, resume=True)
+    assert again.history == straight.history
+    assert again.best_test_fscore == straight.best_test_fscore
+
+
+def test_vmap_sweep_resume_refuses_wrong_group(data, tmp_path):
+    """A checkpoint written for a different combo group must be refused."""
+    train, test = data
+    d = str(tmp_path / "group")
+    VmapSweep(base_cfg(epochs=1), [dict(lr=3e-3, l2=1e-4)]).run(
+        train, test, verbose=False, save_dir=d)
+    with pytest.raises(ValueError, match="different combo group"):
+        VmapSweep(base_cfg(epochs=1), [dict(lr=1e-5, l2=1e-4)]).run(
+            train, test, verbose=False, save_dir=d, resume=True)
