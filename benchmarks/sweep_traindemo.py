@@ -1,13 +1,17 @@
 """Hardware soak of the vmapped multi-config sweep: K configs TRAIN at once.
 
-`SWEEP_BENCH_r04.json` measures the steady-state step throughput of config
+`SWEEP_BENCH_r05.json` measures the steady-state step throughput of config
 stacking; this demo is the end-to-end evidence that the config-parallel
-trainer (train/vmap_sweep.py) actually *trains* on the real chip — K
-learning-rate variants of the flagship config (IEMOCAP GDF, 16 GCNII
-layers, fused Pallas kernels riding `jax.vmap`) run `VmapSweep.run`'s full
-epoch loop over a synthetic dataset: per-config losses/F1 diverge by lr,
-the per-config freeze-mask early stopping runs live, and the whole group
-shares ONE compiled executable.
+trainer (train/vmap_sweep.py) actually *trains* on the real chip — a
+K=8 lr x DROPOUT x gamma sub-grid of the reference IEMOCAP sweep
+(`script/run_train_ie.sh:19-52`; dropout rides the config axis as a traced
+rate, nn/drop_override.py) over the flagship config (IEMOCAP GDF, 16 GCNII
+layers, fused Pallas kernels riding `jax.vmap`, in-kernel PRNG dropout with
+per-config SMEM thresholds) runs `VmapSweep.run`'s full epoch loop on the
+SEPARABLE synthetic task (labels a deterministic function of the features,
+data/synthetic.py): per-config histories diverge by combo, the per-config
+freeze-mask early stopping runs live, held-out F1 goes far above chance,
+and the whole group shares ONE compiled executable.
 
 The reference's counterpart is the sequential bash grid
 (`script/run_train_ie.sh:26-60`) — one process per combo, one at a time.
@@ -22,11 +26,11 @@ import time
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SWEEPDEMO_r04.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SWEEPDEMO_r05.json"
 
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.data.datasets import IEMOCAPDataset
-    from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+    from mmdfn_tpu.data.synthetic import make_separable_iemocap_pickle
     from mmdfn_tpu.runtime.profiling import enable_compilation_cache
     from mmdfn_tpu.train.vmap_sweep import VmapSweep
 
@@ -34,7 +38,7 @@ def main():
 
     import tempfile
     pkl = tempfile.mktemp(suffix=".pkl")
-    make_synthetic_iemocap_pickle(pkl, n_train=192, n_test=64,
+    make_separable_iemocap_pickle(pkl, n_train=192, n_test=64,
                                   min_len=8, max_len=60, seed=7)
     train = IEMOCAPDataset(pkl, True).dialogues()
     test = IEMOCAPDataset(pkl, False).dialogues()
@@ -44,8 +48,11 @@ def main():
         class_weight=True, Deep_GCN_nlayers=16, batch_size=32,
         speaker_weights="3-0-1", epochs=8, patience=3,
         buckets=(16, 32, 64)).with_tpu_fast()
-    combos = [dict(lr=lr, l2=1e-4, gamma=0.5)
-              for lr in (1e-4, 3e-4, 1e-3, 3e-3)]
+    # a K=8 sub-grid of the reference IEMOCAP sweep: lr x dropout x gamma
+    # (run_train_ie.sh:19-52) — dropout varies INSIDE the group
+    combos = [dict(lr=lr, l2=1e-4, dropout=dp, gamma=g)
+              for lr in (3e-4, 1e-3) for dp in (0.2, 0.4)
+              for g in (0.5, 1.0)]
 
     sweep = VmapSweep(cfg, combos)
     t0 = time.perf_counter()
@@ -54,12 +61,14 @@ def main():
 
     import jax
     payload = dict(
-        note=("K=4 lr-variant flagship configs trained SIMULTANEOUSLY via "
-              "the vmapped sweep on one chip (fused Pallas kernels under "
-              "jax.vmap); per-config histories diverge by lr and the "
-              "freeze-mask early stopping runs per config.  Synthetic "
-              "labels: train-set memorization is the learning signal, "
-              "test F1 is chance by construction."),
+        note=("K=8 lr x dropout x gamma flagship configs (a sub-grid of "
+              "the reference IEMOCAP sweep) trained SIMULTANEOUSLY via the "
+              "vmapped sweep on one chip — dropout rides the config axis "
+              "as a traced rate down to the fused kernel's in-kernel PRNG "
+              "threshold; per-config histories diverge by combo, the "
+              "freeze-mask early stopping runs per config, and the task "
+              "is the SEPARABLE one so held-out F1 must be far above "
+              "chance (learning, not memorization)."),
         platform=jax.devices()[0].platform,
         config=dict(graph_type=cfg.graph_type, nlayers=cfg.Deep_GCN_nlayers,
                     batch_size=cfg.batch_size, epochs=cfg.epochs,

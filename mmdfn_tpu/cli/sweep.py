@@ -72,10 +72,13 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=2021)
     ap.add_argument("--vmap", action="store_true", default=False,
                     help="train same-shape configs simultaneously via "
-                         "stacked parameters (fused-kernel path: ~2x the "
-                         "aggregate throughput of running configs one at a "
-                         "time on one v5e chip; knee K=2-4, "
-                         "SWEEP_BENCH_r04.json)")
+                         "stacked parameters (fused-kernel path: ~1.6x the "
+                         "single-config step throughput on one v5e chip, "
+                         "knee K=2, SWEEP_BENCH_r05.json).  lr/l2/gamma AND "
+                         "dropout ride the config axis (dropout as a traced "
+                         "rate, nn/drop_override.py), so each grid runs as "
+                         "one group per layer count: IEMOCAP 2x16, MELD "
+                         "3x16")
     ap.add_argument("--n_data_devices", type=int, default=0,
                     help="with --vmap: shard the stacked config axis over "
                          "this many devices (config parallelism; each device "

@@ -37,6 +37,7 @@ from mmdfn_tpu.graph.relation import relation_type_ids, window_edge_mask
 from mmdfn_tpu.models.mm_gcn import MMGCN, MMGCN2, DeepGCNII
 from mmdfn_tpu.models.relation_net import GraphNetwork
 from mmdfn_tpu.nn.attention import MaskedEdgeAttention, MMGatedAttention
+from mmdfn_tpu.nn.drop_override import Dropout
 from mmdfn_tpu.nn.gcn import GCN2Layers
 from mmdfn_tpu.nn.linear import TorchDense
 from mmdfn_tpu.nn.rnn import BiRNN, crn_party_delta
@@ -172,7 +173,7 @@ class DialogueGNN(nn.Module):
                                        150 if self.modals in ("al", "vl") else 100)
                 U = TorchDense(hidden_, name="linear_")(text)
                 rnn = BiRNN(D_E, num_layers=2, bidirectional=True, cell="gru",
-                            dropout=self.dropout,
+                            dropout=self.dropout, rate_tag="dropout",
                             compute_dtype=self.rnn_compute_dtype,
                             fuse_directions=self.rnn_fuse_directions,
                             scan_remat=self.rnn_scan_remat, backend=self.rnn_backend, name="lstm")
@@ -180,6 +181,7 @@ class DialogueGNN(nn.Module):
                 if self.use_crn_speaker:
                     parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                     cell="gru", dropout=self.dropout,
+                                    rate_tag="dropout",
                                     compute_dtype=self.rnn_compute_dtype,
                                     fuse_directions=self.rnn_fuse_directions,
                                     scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
@@ -193,6 +195,7 @@ class DialogueGNN(nn.Module):
             else:
                 parties = BiRNN(D_E, num_layers=2, bidirectional=True,
                                 cell="gru", dropout=self.dropout,
+                                rate_tag="dropout",
                                 compute_dtype=self.rnn_compute_dtype,
                                 fuse_directions=self.rnn_fuse_directions,
                                 scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
@@ -204,7 +207,7 @@ class DialogueGNN(nn.Module):
                     proj["a"] = TorchDense(HIDDEN_MODALITY, name="linear_a")(audio)
                     base["a"] = proj["a"]
                     if self.av_using_lstm:
-                        base["a"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                        base["a"] = BiRNN(D_E, 2, True, "gru", self.dropout, rate_tag="dropout",
                                           compute_dtype=self.rnn_compute_dtype,
                                           fuse_directions=self.rnn_fuse_directions,
                                           scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
@@ -214,7 +217,7 @@ class DialogueGNN(nn.Module):
                     proj["v"] = TorchDense(HIDDEN_MODALITY, name="linear_v")(visual)
                     base["v"] = proj["v"]
                     if self.av_using_lstm:
-                        base["v"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                        base["v"] = BiRNN(D_E, 2, True, "gru", self.dropout, rate_tag="dropout",
                                           compute_dtype=self.rnn_compute_dtype,
                                           fuse_directions=self.rnn_fuse_directions,
                                           scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
@@ -222,7 +225,7 @@ class DialogueGNN(nn.Module):
                                                          deterministic)
                 if "l" in modals:
                     proj["l"] = TorchDense(HIDDEN_MODALITY, name="linear_l")(text)
-                    base["l"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+                    base["l"] = BiRNN(D_E, 2, True, "gru", self.dropout, rate_tag="dropout",
                                       compute_dtype=self.rnn_compute_dtype,
                                       fuse_directions=self.rnn_fuse_directions,
                                       scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
@@ -251,7 +254,7 @@ class DialogueGNN(nn.Module):
                     for m in modals:
                         emotions[m] = base[m]
         elif self.base_model == "GRU":
-            emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout,
+            emotions["u"] = BiRNN(D_E, 2, True, "gru", self.dropout, rate_tag="dropout",
                                   compute_dtype=self.rnn_compute_dtype,
                                   fuse_directions=self.rnn_fuse_directions,
                                   scan_remat=self.rnn_scan_remat, backend=self.rnn_backend,
@@ -302,7 +305,8 @@ class DialogueGNN(nn.Module):
             graph = MMGCN(
                 n_dim=2 * D_E, nlayers=self.deep_gcn_nlayers,
                 nhidden=self.graph_hidden_size, nclass=self.n_classes,
-                dropout=self.dropout, lamda=self.lamda, alpha=self.alpha,
+                dropout=self.dropout, rate_tag="dropout",
+                lamda=self.lamda, alpha=self.alpha,
                 variant=True, return_feature=True,
                 use_residue=self.use_residue, n_speakers=self.n_speakers,
                 modals=self.modals, use_speaker=self.use_speaker,
@@ -315,7 +319,7 @@ class DialogueGNN(nn.Module):
                 name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
-            feat = nn.Dropout(self.dropout, name="dropout_")(
+            feat = Dropout(self.dropout, rate_tag="dropout", name="dropout_")(
                 feat, deterministic=deterministic)
             feat = nn.relu(feat)
             logits = self._smax_fc(feat)
@@ -324,7 +328,8 @@ class DialogueGNN(nn.Module):
         if self.graph_type == "GF2":
             graph = MMGCN2(
                 nfeat=2 * D_E, nlayers=64, nhidden=self.graph_hidden_size,
-                nclass=self.n_classes, dropout=self.dropout, lamda=0.5,
+                nclass=self.n_classes, dropout=self.dropout,
+                rate_tag="dropout", lamda=0.5,
                 alpha=0.1, variant=True, return_feature=True,
                 use_residue=self.use_residue, modals=self.modals,
                 mm_graph=self.graph_construct,
@@ -333,7 +338,7 @@ class DialogueGNN(nn.Module):
                 scan_remat=self.gcn_scan_remat, name="graph_model")
             feat = graph(emotions, qmask, umask, deterministic=deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
-            feat = nn.Dropout(self.dropout, name="dropout_")(
+            feat = Dropout(self.dropout, rate_tag="dropout", name="dropout_")(
                 feat, deterministic=deterministic)
             feat = nn.relu(feat)
             logits = self._smax_fc(feat)
@@ -351,7 +356,7 @@ class DialogueGNN(nn.Module):
                 return GraphNetwork(
                     2 * D_E, self.n_classes, n_relations,
                     hidden_size=self.graph_hidden_size, dropout=self.dropout,
-                    use_GCN=self.use_gcn,
+                    rate_tag="dropout", use_GCN=self.use_gcn,
                     return_feature=self.multi_modal, name=name)
 
             if not self.multi_modal:
@@ -371,7 +376,7 @@ class DialogueGNN(nn.Module):
                     emotions[m], edge_w, rel_ids, edge_mask, qmask, umask,
                     self.nodal_attention, self.avec, deterministic))
             feat = self._fuse(feats, modals, deterministic)
-            feat = nn.Dropout(self.dropout, name="dropout_")(
+            feat = Dropout(self.dropout, rate_tag="dropout", name="dropout_")(
                 feat, deterministic=deterministic)
             logits = self._smax_fc(feat)
             return jax.nn.log_softmax(logits, axis=-1)
@@ -391,7 +396,8 @@ class DialogueGNN(nn.Module):
                 return DeepGCNII(
                     nfeat=2 * D_E, nlayers=self.deep_gcn_nlayers,
                     nhidden=self.graph_hidden_size, nclass=self.n_classes,
-                    dropout=self.dropout, lamda=lam, alpha=alp, variant=True,
+                    dropout=self.dropout, rate_tag="dropout",
+                    lamda=lam, alpha=alp, variant=True,
                     return_feature=self.multi_modal,
                     use_residue=self.use_residue, reason_flag=self.reason_flag,
                     compute_dtype=self.gcn_compute_dtype,
@@ -408,7 +414,7 @@ class DialogueGNN(nn.Module):
                      for m in "avl" if m in modals]
             feat = self._fuse(feats, modals, deterministic)
             feat = self._mfn_maybe(feat, umask, deterministic)
-            feat = nn.Dropout(self.dropout, name="dropout_")(
+            feat = Dropout(self.dropout, rate_tag="dropout", name="dropout_")(
                 feat, deterministic=deterministic)
             feat = nn.relu(feat)
             logits = self._smax_fc(feat)
@@ -426,7 +432,7 @@ class DialogueGNN(nn.Module):
                     emotions[m])
                 feats.append(jnp.concatenate([g, emotions[m]], axis=-1))
             feat = self._fuse(feats, modals, deterministic)
-            feat = nn.Dropout(self.dropout, name="dropout_")(
+            feat = Dropout(self.dropout, rate_tag="dropout", name="dropout_")(
                 feat, deterministic=deterministic)
             logits = self._smax_fc(feat)
             return jax.nn.log_softmax(logits, axis=-1)

@@ -66,6 +66,8 @@ class MMGCN(nn.Module):
                                           # (tensor parallelism; GCNIIStack)
     backend: Optional[str] = None         # 'pallas' fused train stack
     bwd_block: Optional[int] = None       # fused-kernel backward batch block
+    rate_tag: Optional[str] = None        # traced dropout-rate override tag
+                                          # (config-stacked sweep)
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
@@ -104,7 +106,8 @@ class MMGCN(nn.Module):
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
             spmm=self.spmm, backend=self.backend,
-            bwd_block=self.bwd_block, name="graph_net")
+            bwd_block=self.bwd_block, rate_tag=self.rate_tag,
+            name="graph_net")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)   # model_GCN.py:482-483
@@ -146,15 +149,19 @@ class MMGCN2(nn.Module):
     compute_dtype: Optional[str] = None
     scan_unroll: Optional[int] = None
     scan_remat: bool = False
+    rate_tag: Optional[str] = None        # traced dropout-rate override tag
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], qmask: jnp.ndarray,
                  umask: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from mmdfn_tpu.nn.drop_override import Dropout
+
         modals = [m for m in self.modals]
         B, L = umask.shape
 
         def enc(x, name):
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dropout(self.dropout, rate_tag=self.rate_tag)(
+                x, deterministic=deterministic)
             return nn.relu(TorchDense(self.nhidden, name=name)(x))
 
         encoded = [enc(feats[m], f"fc_{m}") for m in modals]
@@ -181,7 +188,7 @@ class MMGCN2(nn.Module):
             dropout_mode="before", post_loop_dropout=True,
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
-            name="convs")
+            rate_tag=self.rate_tag, name="convs")
         _, h = stack(x, adj, deterministic=deterministic)
 
         parts = [h[:, i * L:(i + 1) * L] for i in range(len(modals))]
@@ -218,6 +225,7 @@ class DeepGCNII(nn.Module):
     spmm: Optional[Callable] = None
     backend: Optional[str] = None
     bwd_block: Optional[int] = None
+    rate_tag: Optional[str] = None        # traced dropout-rate override tag
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, qmask: jnp.ndarray, umask: jnp.ndarray,
@@ -241,7 +249,7 @@ class DeepGCNII(nn.Module):
             compute_dtype=self.compute_dtype,
             scan_unroll=self.scan_unroll, scan_remat=self.scan_remat,
             spmm=self.spmm, backend=self.backend,
-            bwd_block=self.bwd_block, name="stack")
+            bwd_block=self.bwd_block, rate_tag=self.rate_tag, name="stack")
         x_resid, h = stack(x, adj, deterministic=deterministic)
         if self.use_residue:
             h = jnp.concatenate([x_resid, h], axis=-1)

@@ -98,6 +98,8 @@ class GraphNetwork(nn.Module):
     dropout: float = 0.5
     use_GCN: bool = False
     return_feature: bool = False
+    rate_tag: object = None   # traced dropout-rate override tag
+                              # (config-stacked sweep; nn/drop_override.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, edge_weight: jnp.ndarray,
@@ -127,7 +129,9 @@ class GraphNetwork(nn.Module):
             hidden = nn.relu(TorchDense(self.hidden_size, name="linear")(att))
         else:
             hidden = nn.relu(TorchDense(self.hidden_size, name="linear")(emotions))
-        hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
+        from mmdfn_tpu.nn.drop_override import Dropout
+        hidden = Dropout(self.dropout, rate_tag=self.rate_tag)(
+            hidden, deterministic=deterministic)
         hidden = TorchDense(self.num_classes, name="smax_fc")(hidden)
         if avec:
             return hidden

@@ -49,10 +49,13 @@ def gcnii_conv(h: jnp.ndarray, adj: jnp.ndarray, h0: jnp.ndarray,
     return theta * (support @ W) + (1.0 - theta) * r
 
 
-def _dropout(x, key, rate):
-    keep = 1.0 - rate
+def _dropout(x, key, keep, inv_keep):
+    # explicit inv_keep multiply: static and traced rates compile to the
+    # same arithmetic (see nn/drop_override.py:resolve).  The cast keeps a
+    # traced f32 scale from promoting a bf16 compute-dtype carry (a python
+    # float would stay weakly typed).
     mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    return jnp.where(mask, x * jnp.asarray(inv_keep, x.dtype), 0.0)
 
 
 class GCNIIStack(nn.Module):
@@ -129,13 +132,24 @@ class GCNIIStack(nn.Module):
                                           # step of the fused kernel (grad
                                           # dots contract Bk x the rows;
                                           # non-divisors of B fall back to 1)
+    rate_tag: Optional[str] = None        # consult the traced dropout-rate
+                                          # override under this tag (set by
+                                          # the config-stacked sweep; see
+                                          # nn/drop_override.py) — only sites
+                                          # whose static rate derives from
+                                          # the swept config field are tagged
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from mmdfn_tpu.nn import drop_override
+
         H = self.nhidden
         B, N = x.shape[0], x.shape[1]
-        use_dropout = (self.dropout > 0.0) and not deterministic
+        keep, inv_keep, rate_ov = drop_override.resolve(
+            self.rate_tag, self.dropout)
+        use_dropout = ((rate_ov is not None) or (self.dropout > 0.0)) \
+            and not deterministic
         if use_dropout:
             root_key = self.make_rng("dropout")
             keys = jax.random.split(root_key, self.nlayers + 3)
@@ -144,11 +158,11 @@ class GCNIIStack(nn.Module):
 
         if self.has_fc_in:
             if use_dropout:
-                x = _dropout(x, keys[-1], self.dropout)
+                x = _dropout(x, keys[-1], keep, inv_keep)
             h = nn.relu(TorchDense(H, name="fc_in")(x))
             h0 = h
             if use_dropout:
-                h = _dropout(h, keys[-2], self.dropout)
+                h = _dropout(h, keys[-2], keep, inv_keep)
         else:
             h = x
             h0 = x
@@ -193,17 +207,20 @@ class GCNIIStack(nn.Module):
                                                jax.dtypes.prng_key)
                              else root_key)
                 seed = root_data.reshape(-1)[0].astype(jnp.int32)
-                rate = self.dropout
+                # static rate -> baked threshold; override -> the traced
+                # per-config DropRate rides as SMEM operands
+                rate_arg = (float(self.dropout) if rate_ov is None
+                            else rate_ov)
             else:
                 seed = jnp.int32(0)
-                rate = 0.0
+                rate_arg = 0.0
             if self.reason_flag:
                 lstm = (lw_ih, lw_hh, lb_ih + lb_hh)
             else:
                 lstm = (None, None, None)
             h = gcnii_stack_train(
                 adj, h, h0, W, theta, *lstm, alpha=self.alpha,
-                reason=self.reason_flag, rate=float(rate), seed=seed,
+                reason=self.reason_flag, rate=rate_arg, seed=seed,
                 interpret=interp,
                 fuse_dots=(self.backend == "pallas_fused"),
                 bwd_batch_block=self.bwd_block)
@@ -237,14 +254,14 @@ class GCNIIStack(nn.Module):
             h, state = carry
             W_i, theta_i, key_i = xs
             if self.dropout_mode == "before" and use_dropout:
-                h = _dropout(h, key_i, self.dropout)
+                h = _dropout(h, key_i, keep, inv_keep)
             if self.reason_flag:
                 q = h
                 h, state = lstm_step(h, state)
             h = nn.relu(gcnii_conv(h, adj, h0, W_i, theta_i, self.alpha,
                                    self.variant, spmm=self.spmm))
             if self.dropout_mode == "after" and use_dropout:
-                h = _dropout(h, key_i, self.dropout)
+                h = _dropout(h, key_i, keep, inv_keep)
             if self.reason_flag:
                 h = h + q
             return (h, state), None
@@ -265,7 +282,7 @@ class GCNIIStack(nn.Module):
         h = h.astype(out_dtype)
 
         if self.post_loop_dropout and use_dropout:
-            h = _dropout(h, keys[-3], self.dropout)
+            h = _dropout(h, keys[-3], keep, inv_keep)
         return x, h
 
 

@@ -256,6 +256,10 @@ class BiRNN(nn.Module):
                                           # around it); scan_remat is moot
                                           # (the kernel's backward always
                                           # recomputes gates in VMEM).
+    rate_tag: Optional[str] = None        # consult the traced dropout-rate
+                                          # override under this tag for the
+                                          # inter-layer dropout (config-
+                                          # stacked sweep; nn/drop_override)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, umask: Optional[jnp.ndarray] = None,
@@ -339,8 +343,12 @@ class BiRNN(nn.Module):
                         ys = rev(ys)
                     feats.append(ys)
             out = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
-            if self.dropout > 0 and layer < self.num_layers - 1:
-                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            if layer < self.num_layers - 1:
+                # draw-compatible nn.Dropout drop-in; honors the traced
+                # per-config rate override (no-op when rate 0 + no override)
+                from mmdfn_tpu.nn.drop_override import Dropout
+                out = Dropout(self.dropout, rate_tag=self.rate_tag)(
+                    out, deterministic=deterministic)
         return out.astype(out_dtype)
 
 

@@ -80,13 +80,16 @@ def _lstm_fwd(h, lh, lc, ih, hh, b, Hp, fused=False):
 
 
 def _layer_fwd(h, lh, lc, mm, h0, w1, w2, lstm, *, theta, alpha, reason,
-               rate, draw_keep, Hp, fused=False):
+               drop, inv_keep, draw_keep, Hp, fused=False):
     """Recompute one GCNII layer; returns (h_next, lh1, lc1, aux).
 
     ``mm`` maps h1 -> adj @ h1 (a closure, so the backward's batch-blocked
     variant can loop its per-b adjacencies while sharing this exact math);
     ``draw_keep`` returns the dropout keep mask (in-kernel PRNG, seeded per
-    global (b, layer) by the caller).
+    global (b, layer) by the caller).  ``drop`` is a STATIC bool (dropout
+    machinery traced at all); ``inv_keep`` is the keep scale — a python
+    float on the static-rate path, a traced SMEM scalar on the dynamic
+    (config-stacked) path.
     """
     if reason:
         lh1, lc1, gates = _lstm_fwd(h, lh, lc, *lstm, Hp, fused=fused)
@@ -107,9 +110,9 @@ def _layer_fwd(h, lh, lc, mm, h0, w1, w2, lstm, *, theta, alpha, reason,
     r = (1.0 - alpha) * hi + alpha * h0.astype(jnp.float32)
     pre = theta * support + (1.0 - theta) * r
     h2 = jnp.maximum(pre, 0.0)
-    if rate > 0.0:
+    if drop:
         keep = draw_keep()
-        h3 = jnp.where(keep, h2 * (1.0 / (1.0 - rate)), 0.0)
+        h3 = jnp.where(keep, h2 * inv_keep, 0.0)
     else:
         keep = None
         h3 = h2
@@ -118,10 +121,11 @@ def _layer_fwd(h, lh, lc, mm, h0, w1, w2, lstm, *, theta, alpha, reason,
 
 
 def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
-                lih_ref, lhh_ref, lb_ref, seed_ref,
+                lih_ref, lhh_ref, lb_ref, seed_ref, thresh_ref, invk_ref,
                 hout_ref, hres_ref, lhres_ref, lcres_ref,
                 h_scr, lh_scr, lc_scr,
-                *, alpha, reason, rate, thresh, nlb, K, Hp, fused):
+                *, alpha, reason, drop, dyn, inv_keep, thresh, nlb, K, Hp,
+                fused):
     b = pl.program_id(0)
     j = pl.program_id(1)               # layer-block index; layers j*K..+K-1
 
@@ -136,6 +140,11 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
     adj = adj_ref[0]
     mm = lambda h1: jnp.dot(adj, h1.astype(adj.dtype),
                             preferred_element_type=jnp.float32)
+    if dyn:   # config-stacked rate: threshold/scale are traced SMEM scalars
+        thresh_v = thresh_ref[0, 0].astype(jnp.uint32)
+        inv_keep = invk_ref[0, 0]
+    else:
+        thresh_v = jnp.uint32(thresh)
     for k in range(K):                 # static unroll over the block
         l = j * K + k
         # residuals: the pre-layer carries, bf16
@@ -146,13 +155,16 @@ def _fwd_kernel(adj_ref, he_ref, h0_ref, w1_ref, w2_ref, theta_ref,
         def draw_keep(l=l, shape=h.shape):
             pltpu.prng_seed(seed_ref[0, 0] + b * 8192 + l)  # (b, layer)
             bits = pltpu.prng_random_bits(shape)
-            return bits.astype(jnp.uint32) < jnp.uint32(thresh)
+            keep = bits.astype(jnp.uint32) < thresh_v
+            if dyn:   # a stacked rate of exactly 0 must keep EVERYTHING
+                keep = jnp.logical_or(keep, inv_keep <= 1.0)
+            return keep
 
         h, lh, lc, _ = _layer_fwd(
             h, lh, lc, mm, h0_ref[0], w1_ref[k],
             None if fused else w2_ref[k], lstm,
-            theta=theta_ref[l, 0], alpha=alpha, reason=reason, rate=rate,
-            draw_keep=draw_keep, Hp=Hp, fused=fused)
+            theta=theta_ref[l, 0], alpha=alpha, reason=reason, drop=drop,
+            inv_keep=inv_keep, draw_keep=draw_keep, Hp=Hp, fused=fused)
 
     h_scr[:] = h
     lh_scr[:] = lh
@@ -169,14 +181,14 @@ def _cat_b(parts):
 
 
 def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
-                lih_ref, lhh_ref, lb_ref, seed_ref,
+                lih_ref, lhh_ref, lb_ref, seed_ref, thresh_ref, invk_ref,
                 hres_ref, lhres_ref, lcres_ref, dhf_ref,
                 dhe_ref, dh0_ref, dadj_ref, dw1_ref, dw2_ref,
                 dlih_ref, dlhh_ref, dlb_ref,
                 dh_scr, dlh_scr, dlc_scr, dh0_scr, dadj_scr,
                 dw1_scr, dw2_scr, dlih_scr, dlhh_scr, dlb_scr,
-                *, alpha, reason, rate, thresh, nlb, K, nbb, Bk, Np, Hp,
-                fused, ablate=frozenset()):
+                *, alpha, reason, drop, dyn, inv_keep, thresh, nlb, K, nbb,
+                Bk, Np, Hp, fused, ablate=frozenset()):
     """Reverse pass, batch-blocked: each grid step owns Bk batch elements
     so every shared-weight gradient dot gets Bk x the rows (the bwd is
     latency-bound on small serially-dependent dots, not FLOPs); only the
@@ -215,6 +227,11 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
     adjs = [adj_ref[bb] for bb in range(Bk)]
     h0 = _cat_b([h0_ref[bb] for bb in range(Bk)])
     lstm = (lih_ref[:], None if fused else lhh_ref[:], lb_ref[:])
+    if dyn:   # config-stacked rate: threshold/scale are traced SMEM scalars
+        thresh_v = thresh_ref[0, 0].astype(jnp.uint32)
+        inv_keep = invk_ref[0, 0]
+    else:
+        thresh_v = jnp.uint32(thresh)
 
     def mm(h1):
         return _cat_b([
@@ -242,18 +259,20 @@ def _bwd_kernel(adj_ref, h0_ref, w1_ref, w2_ref, theta_ref,
             for bb in range(Bk):
                 pltpu.prng_seed(seed_ref[0, 0] + (b * Bk + bb) * 8192 + l)
                 bits = pltpu.prng_random_bits((Np, Hp))
-                ks.append(bits.astype(jnp.uint32) < jnp.uint32(thresh))
-            return _cat_b(ks)
+                ks.append(bits.astype(jnp.uint32) < thresh_v)
+            keep = _cat_b(ks)
+            if dyn:   # a stacked rate of exactly 0 must keep EVERYTHING
+                keep = jnp.logical_or(keep, inv_keep <= 1.0)
+            return keep
 
         _, _, lc1, (h1, hi, pre, keep, gates) = _layer_fwd(
             h, lh, lc, mm, h0, w1, w2, lstm,
-            theta=theta, alpha=alpha, reason=reason, rate=rate,
-            draw_keep=draw_keep, Hp=Hp, fused=fused)
+            theta=theta, alpha=alpha, reason=reason, drop=drop,
+            inv_keep=inv_keep, draw_keep=draw_keep, Hp=Hp, fused=fused)
 
         dh_in = dh_scr[:]
         dh3 = dh_in                                   # h_next = h3 (+ h)
-        dh2 = (jnp.where(keep, dh3 * (1.0 / (1.0 - rate)), 0.0)
-               if rate > 0.0 else dh3)
+        dh2 = jnp.where(keep, dh3 * inv_keep, 0.0) if drop else dh3
         dpre = jnp.where(pre > 0.0, dh2, 0.0)
         tdpre = theta * dpre
 
@@ -413,17 +432,18 @@ def _smem(*shape):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _stack_core(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
+def _stack_core(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed,
+                thresh, invk):
     return _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb,
-                      theta, seed)[0]
+                      theta, seed, thresh, invk)[0]
 
 
-def _interp_mode(rate, interpret):
+def _interp_mode(drop, interpret):
     """interpret=True + live dropout needs the TPU-aware interpreter (the
     HLO interpreter lacks the PRNG primitives; the TPU interpreter stubs
     them with zeros — all-keep — which is why nn/gcn.py falls back to the
     scan for live dropout off-TPU; tests exercise the scale path only)."""
-    if interpret and rate > 0.0:
+    if interpret and drop:
         return pltpu.InterpretParams()
     return interpret
 
@@ -449,16 +469,20 @@ def _fuse_weights(W1, W2, lih, lhh):
     return Wc, ihc, dummy
 
 
-def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
-    alpha, reason, rate, interpret, fused = static[:5]
-    interpret = _interp_mode(rate, interpret)
+def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed,
+               thresh_c, invk_c):
+    alpha, reason, rate, interpret, fused, _, dyn = static
+    drop = dyn or rate > 0.0
+    interpret = _interp_mode(drop, interpret)
     B, Np, _ = adj.shape
     nl, Hp, _ = W1.shape
     K = _layer_block(nl)
     nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     kernel = functools.partial(_fwd_kernel, alpha=alpha, reason=reason,
-                               rate=rate, thresh=thresh, nlb=nlb, K=K, Hp=Hp,
+                               drop=drop, dyn=dyn, inv_keep=inv_keep,
+                               thresh=thresh, nlb=nlb, K=K, Hp=Hp,
                                fused=fused)
     bf = jnp.bfloat16
     if fused:
@@ -478,7 +502,7 @@ def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
             w1_spec, w2_spec,
             _smem(nl, 1),
             ih_spec, hh_spec, _const(1, 4 * Hp),
-            _smem(1, 1),
+            _smem(1, 1), _smem(1, 1), _smem(1, 1),
         ],
         out_specs=[
             _per_b(Np, Hp),
@@ -492,16 +516,18 @@ def _stack_fwd(static, adj, h_entry, h0, W1, W2, lih, lhh, lb, theta, seed):
         ],
         scratch_shapes=[pltpu.VMEM((Np, Hp), jnp.float32)] * 3,
         interpret=interpret,
-    )(adj, h_entry, h0, w1_op, w2_op, theta, ih_op, hh_op, lb, seed)
-    res = (adj, h0, W1, W2, lih, lhh, lb, theta, seed,
+    )(adj, h_entry, h0, w1_op, w2_op, theta, ih_op, hh_op, lb, seed,
+      thresh_c, invk_c)
+    res = (adj, h0, W1, W2, lih, lhh, lb, theta, seed, thresh_c, invk_c,
            h_res, lh_res, lc_res)
     return h_out, res
 
 
 def _stack_bwd(static, res, dh_final):
-    alpha, reason, rate, interpret, fused, bwd_bk = static
-    interpret = _interp_mode(rate, interpret)
-    (adj, h0, W1, W2, lih, lhh, lb, theta, seed,
+    alpha, reason, rate, interpret, fused, bwd_bk, dyn = static
+    drop = dyn or rate > 0.0
+    interpret = _interp_mode(drop, interpret)
+    (adj, h0, W1, W2, lih, lhh, lb, theta, seed, thresh_c, invk_c,
      h_res, lh_res, lc_res) = res
     B, Np, _ = adj.shape
     nl, Hp, _ = W1.shape
@@ -517,13 +543,15 @@ def _stack_bwd(static, res, dh_final):
         K //= 2
     nlb = nl // K
     thresh = min(int((1.0 - rate) * (1 << 32)), _MASK64) if rate > 0 else 0
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     # timing-attribution ablations (benchmarks/attr_gcnii_bwd.py); empty in
     # production — see _bwd_kernel's docstring
     ablate = frozenset(
         a for a in os.environ.get("MMDFN_GCNII_BWD_ABLATE", "").split(",")
         if a)
     kernel = functools.partial(_bwd_kernel, alpha=alpha, reason=reason,
-                               rate=rate, thresh=thresh, nlb=nlb, K=K,
+                               drop=drop, dyn=dyn, inv_keep=inv_keep,
+                               thresh=thresh, nlb=nlb, K=K,
                                nbb=B // Bk, Bk=Bk, Np=Np, Hp=Hp, fused=fused,
                                ablate=ablate)
     if fused:
@@ -563,7 +591,7 @@ def _stack_bwd(static, res, dh_final):
             w1_spec, w2_spec,
             _smem(nl, 1),
             ih_spec, hh_spec, _const(1, 4 * Hp),
-            _smem(1, 1),
+            _smem(1, 1), _smem(1, 1), _smem(1, 1),
             res_spec(), res_spec(), res_spec(),
             _per_b(Np, Hp, Bk=Bk),
         ],
@@ -599,16 +627,19 @@ def _stack_bwd(static, res, dh_final):
         interpret=interpret,
         **extra,
     )(adj, h0, w1_op, w2_op, theta, ih_op, hh_op, lb, seed,
-      h_res, lh_res, lc_res, dh_final)
+      thresh_c, invk_c, h_res, lh_res, lc_res, dh_final)
     if fused:
         dW1, dW2 = dW1[:, :Hp], dW1[:, Hp:]
         dlih, dlhh = dlih[:Hp], dlih[Hp:]
     import numpy as np
-    # cotangent dtypes must match the (bf16) primals; int seed gets float0
+    # cotangent dtypes must match the (bf16) primals; int seed/thresh get
+    # float0; the keep-scale operand is a hyperparameter (zero cotangent)
     return (dadj.astype(adj.dtype), dhe, dh0.astype(h0.dtype),
             dW1.astype(W1.dtype), dW2.astype(W2.dtype), dlih, dlhh, dlb,
             jnp.zeros_like(theta),
-            np.zeros(seed.shape, jax.dtypes.float0))
+            np.zeros(seed.shape, jax.dtypes.float0),
+            np.zeros(thresh_c.shape, jax.dtypes.float0),
+            jnp.zeros_like(invk_c))
 
 
 _stack_core.defvjp(_stack_fwd, _stack_bwd)
@@ -619,7 +650,7 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
                       lstm_ih: Optional[jnp.ndarray],
                       lstm_hh: Optional[jnp.ndarray],
                       lstm_b: Optional[jnp.ndarray],
-                      *, alpha: float, reason: bool, rate: float,
+                      *, alpha: float, reason: bool, rate,
                       seed, interpret: bool = False,
                       fuse_dots: bool = False,
                       bwd_batch_block: Optional[int] = None) -> jnp.ndarray:
@@ -636,8 +667,15 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
       adj: (B, N, N) normalized adjacency; h_entry: (B, N, H) loop-entry
       hidden (post fc_in/ReLU/dropout); h0: (B, N, H) residual anchor;
       W: (nlayers, 2H, H); theta: (nlayers,); lstm_*: shared reason-LSTM
-      params or None; rate: dropout rate (0 disables, in-kernel hardware
-      PRNG otherwise); seed: int32 scalar.
+      params or None; rate: dropout rate — a python float (0 disables,
+      in-kernel hardware PRNG otherwise; the rate is baked into the
+      compiled threshold) OR a traced
+      :class:`~mmdfn_tpu.nn.drop_override.DropRate` whose
+      threshold/keep-scale ride as SMEM scalar operands (the
+      config-stacked sweep vmaps them over the config axis; draws are
+      bit-identical with the equivalent static rate for the same seed
+      because both thresholds come from the same exact integer formula);
+      seed: int32 scalar.
       bwd_batch_block: batch elements per backward grid step (must divide
         B, else silently 1).  The backward's shared-weight gradient dots
         contract Bk x the rows per dot, amortizing MXU pipeline fill over
@@ -675,9 +713,18 @@ def gcnii_stack_train(adj: jnp.ndarray, h_entry: jnp.ndarray,
     # (trailing dims == array dims) passes the Mosaic block-shape
     # rule — rank-1 (K, 1) blocks are rejected (config-parallel sweep)
     seed_c = jnp.asarray(seed, jnp.int32).reshape(1, 1)
-    static = (float(alpha), bool(reason), float(rate), bool(interpret),
+    dyn = hasattr(rate, "thresh")          # DropRate: traced per-config rate
+    if dyn:
+        thresh_c = jnp.asarray(rate.thresh, jnp.int32).reshape(1, 1)
+        invk_c = jnp.asarray(rate.inv_keep, jnp.float32).reshape(1, 1)
+        rate_s = -1.0                      # unused on the dynamic path
+    else:
+        thresh_c = jnp.zeros((1, 1), jnp.int32)
+        invk_c = jnp.ones((1, 1), jnp.float32)
+        rate_s = float(rate)
+    static = (float(alpha), bool(reason), rate_s, bool(interpret),
               bool(fuse_dots),
-              int(bwd_batch_block) if bwd_batch_block else 1)
+              int(bwd_batch_block) if bwd_batch_block else 1, dyn)
     out = _stack_core(static, adj_p, he_p, h0_p, W1, W2, ih, hh, b_,
-                      theta_c, seed_c)
+                      theta_c, seed_c, thresh_c, invk_c)
     return out[:, :N, :H]

@@ -9,11 +9,15 @@ batched — exactly what the MXU wants — and one compiled executable sweeps
 the entire group.
 
 What can stack: anything that enters the step as *data* — learning rate, L2
-coefficient, focal gamma (and, with shared shapes, init seeds).  What cannot:
-flags that change parameter shapes or trace structure (``Deep_GCN_nlayers``,
-``dropout`` rate inside static module attrs, graph_type).  The sweep grid is
-therefore partitioned into static groups; each group trains as one vmapped
-run (IEMOCAP's 32-combo grid = 4 groups of 8).
+coefficient, focal gamma, and the DROPOUT RATE (a bernoulli threshold: the
+traced per-config rate rides to every cfg.dropout-derived site through
+:mod:`mmdfn_tpu.nn.drop_override`, including the fused GCNII kernel's
+in-kernel PRNG threshold, and both reference grids vary it —
+``run_train_ie.sh`` dp {0.2, 0.4}).  What cannot: flags that change
+parameter shapes or trace structure (``Deep_GCN_nlayers``, graph_type).
+The sweep grid is therefore partitioned into static groups; each group
+trains as one vmapped run (IEMOCAP's 32-combo grid = 2 groups of 16, one
+per layer count).
 
 Early stopping is per-config via an update *freeze mask*: a stopped config's
 parameter updates are multiplied by zero (same math as stopping, no ragged
@@ -58,7 +62,7 @@ class GroupResult:
 
 
 def group_combos(combos: Sequence[dict],
-                 static_keys: Sequence[str] = ("Deep_GCN_nlayers", "dropout")
+                 static_keys: Sequence[str] = ("Deep_GCN_nlayers",)
                  ) -> List[Tuple[dict, List[dict]]]:
     """Partition combos by the hyperparameters that must stay static."""
     groups: Dict[tuple, List[dict]] = {}
@@ -108,22 +112,23 @@ class VmapSweep:
 
     def __init__(self, base_cfg: ExperimentConfig, combos: Sequence[dict],
                  mesh=None):
-        # only lr/l2/gamma can be stacked along the vmapped config axis
-        # (they enter the step as per-config scalars); any other key must be
+        # only lr/l2/gamma/dropout can be stacked along the vmapped config
+        # axis (they enter the step as per-config scalars — dropout as the
+        # traced rate override, nn/drop_override.py); any other key must be
         # identical across the group — fold it into the shared config.  A
         # key that VARIES outside the stackable set would otherwise train K
         # copies of the base value while reporting the asked-for grid:
         # silently wrong sweep science, so refuse loudly.
-        STACKABLE = ("lr", "l2", "gamma")
+        STACKABLE = ("lr", "l2", "gamma", "dropout")
         static = {}
         keys = {k for c in combos for k in c}
         for k in keys:
             vals = [c.get(k) for c in combos]
             if k in STACKABLE:
-                # gamma falls back to base_cfg.gamma; lr/l2 must be present
-                # in EVERY combo or the stack build below dies in a bare
-                # KeyError with no hint of which combo is malformed
-                if k != "gamma" and any(k not in c for c in combos):
+                # gamma/dropout fall back to the base config; lr/l2 must be
+                # present in EVERY combo or the stack build below dies in a
+                # bare KeyError with no hint of which combo is malformed
+                if k in ("lr", "l2") and any(k not in c for c in combos):
                     raise ValueError(
                         f"stackable combo key {k!r} is missing from "
                         f"{sum(k not in c for c in combos)} of "
@@ -164,6 +169,15 @@ class VmapSweep:
                                             jnp.float32))
         self.gamma = self._shard_k(jnp.asarray(
             [c.get("gamma", base_cfg.gamma) for c in combos], jnp.float32))
+        if any("dropout" in c for c in self.combos):
+            # per-config traced dropout rate: thresholds precomputed
+            # host-side in exact integer math so the fused kernel's draws
+            # are bit-identical with a static-rate run (nn/drop_override.py)
+            from mmdfn_tpu.nn.drop_override import make_drop_rate
+            self.droprate = self._shard_k(make_drop_rate(
+                [float(c.get("dropout", base_cfg.dropout)) for c in combos]))
+        else:
+            self.droprate = None
         alpha = self.cfg.class_weights_or_none()
         self.alpha = None if alpha is None else jnp.asarray(alpha)
         self._train_step, self._eval_step = self._build()
@@ -196,34 +210,47 @@ class VmapSweep:
         return params, self._shard_k((m, v, t))
 
     def _build(self):
+        from mmdfn_tpu.nn import drop_override
+
         model = self.trainer.model
         cfg = self.cfg
 
-        def forward(params, batch, rng):
+        def forward(params, batch, rng, droprate=None):
             rngs = None if rng is None else {"dropout": rng}
+            if droprate is not None:
+                # trace-time context: every cfg.dropout-derived site reads
+                # this config's traced rate instead of the static attr
+                with drop_override.override({"dropout": droprate}):
+                    return model.apply(
+                        {"params": params}, batch["text"], batch["qmask"],
+                        batch["umask"], batch["audio"], batch["visual"],
+                        deterministic=rng is None, rngs=rngs)
             return model.apply(
                 {"params": params}, batch["text"], batch["qmask"],
                 batch["umask"], batch["audio"], batch["visual"],
                 deterministic=rng is None, rngs=rngs)
 
-        def loss_fn(params, batch, rng, gamma):
-            logp = forward(params, batch, rng)
+        def loss_fn(params, batch, rng, gamma, droprate):
+            logp = forward(params, batch, rng, droprate)
             return focal_loss(logp, batch["label"], batch["umask"],
                               gamma=gamma, alpha=self.alpha), logp
 
-        def one_train(params, opt, batch, rng, lr, l2, gamma, freeze):
+        def one_train(params, opt, batch, rng, lr, l2, gamma, droprate,
+                      freeze):
             (loss, logp), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch, rng, gamma)
+                loss_fn, has_aux=True)(params, batch, rng, gamma, droprate)
             params, opt = _adam_update(grads, opt, params, lr, l2, freeze)
             return params, opt, loss, jnp.argmax(logp, -1)
+
+        dr_axis = None if self.droprate is None else 0
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params_k, opt_k, batch, rng, freeze_k):
             rngs = jax.random.split(rng, self.K)
             return jax.vmap(one_train,
-                            in_axes=(0, 0, None, 0, 0, 0, 0, 0))(
+                            in_axes=(0, 0, None, 0, 0, 0, 0, dr_axis, 0))(
                 params_k, opt_k, batch, rngs, self.lr, self.l2, self.gamma,
-                freeze_k)
+                self.droprate, freeze_k)
 
         def one_eval(params, batch, gamma):
             logp = forward(params, batch, None)

@@ -14,7 +14,7 @@ chunks=(
   "tests/test_dialogue_gnn.py tests/test_all_graph_types_train.py tests/test_daily.py tests/test_daily_trainer.py tests/test_frontends.py tests/test_raw_input.py"
   "tests/test_e2e_torch_parity.py tests/test_train_parity.py tests/test_reference_oracle.py tests/test_attention_oracle.py tests/test_import_torch_checkpoint.py"
   "tests/test_trainer.py tests/test_cli.py tests/test_vmap_sweep.py tests/test_graph_parallel.py tests/test_resume_serve.py tests/test_streaming.py tests/test_profiling.py"
-  "tests/test_mesh_production.py tests/test_learning.py"
+  "tests/test_mesh_production.py tests/test_learning.py tests/test_drop_override.py"
 )
 
 # guard: every tests/test_*.py must appear in a chunk, or a new test file

@@ -30,26 +30,99 @@ def base_cfg(**over):
 
 
 def test_group_combos_partitions_by_static_keys():
+    """Dropout now rides the config axis (traced rate override), so only the
+    layer count forces a static group split: the 8-combo example grid vmaps
+    as 2 groups of 4 (it used to be 4 groups of 2)."""
     combos = [dict(Deep_GCN_nlayers=n, dropout=d, lr=lr, l2=1e-4, gamma=0.5)
               for n in (16, 32) for d in (0.2, 0.4) for lr in (1e-4, 3e-4)]
     groups = group_combos(combos)
-    assert len(groups) == 4
-    assert all(len(g) == 2 for _, g in groups)
+    assert len(groups) == 2
+    assert all(len(g) == 4 for _, g in groups)
     static, group = groups[0]
-    assert set(static) == {"Deep_GCN_nlayers", "dropout"}
+    assert set(static) == {"Deep_GCN_nlayers"}
+
+
+def test_reference_grids_vmap_as_one_group_per_layer_count():
+    """With dropout stackable, the verbatim reference grids partition into
+    exactly one vmapped group per Deep_GCN_nlayers value: IEMOCAP 32 combos
+    = 2 x K=16 (run_train_ie.sh:19-52), MELD 48 = 3 x K=16
+    (run_train_me.sh:20-52)."""
+    from mmdfn_tpu.cli.sweep import combos
+
+    ie = list(combos("IEMOCAP"))
+    groups = group_combos(ie)
+    assert len(ie) == 32 and len(groups) == 2
+    assert all(len(g) == 16 for _, g in groups)
+    assert all(set(s) == {"Deep_GCN_nlayers"} for s, _ in groups)
+
+    me = list(combos("MELD"))
+    groups = group_combos(me)
+    assert len(me) == 48 and len(groups) == 3
+    assert all(len(g) == 16 for _, g in groups)
 
 
 def test_vmap_refuses_non_stackable_varying_key():
-    """A combo key outside lr/l2/gamma that VARIES across the group must be
-    refused loudly (it used to be silently trained at the base value while
-    results reported the asked-for grid)."""
-    with pytest.raises(ValueError, match="dropout"):
-        VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4, dropout=0.2),
-                               dict(lr=1e-4, l2=1e-4, dropout=0.4)])
+    """A combo key outside lr/l2/gamma/dropout that VARIES across the group
+    must be refused loudly (it used to be silently trained at the base value
+    while results reported the asked-for grid)."""
+    with pytest.raises(ValueError, match="alpha"):
+        VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4, alpha=0.1),
+                               dict(lr=1e-4, l2=1e-4, alpha=0.3)])
     # identical across the group is fine: folded into the shared config
-    sweep = VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4, dropout=0.2),
-                                   dict(lr=3e-4, l2=1e-4, dropout=0.2)])
-    assert sweep.cfg.dropout == 0.2
+    sweep = VmapSweep(base_cfg(), [dict(lr=1e-4, l2=1e-4, alpha=0.3),
+                                   dict(lr=3e-4, l2=1e-4, alpha=0.3)])
+    assert sweep.cfg.alpha == 0.3
+
+
+def _histories_match(got, want, loss_atol=2e-3):
+    """Same selections/predictions, losses within ulp-drift tolerance.
+
+    Dropout masks and all forward/grad math are exactly equal between the
+    override and static paths OUTSIDE vmap (test_drop_override.py pins
+    forward AND grads bitwise), but inside the jitted vmapped step the two
+    programs differ structurally (traced rate operands vs baked constants),
+    so XLA fuses/reassociates reductions differently — an irreducible
+    ~1e-4 ulp drift on losses after Adam normalization.  Everything is
+    seeded, so the comparison is still deterministic.
+    """
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["epoch"] == w["epoch"]
+        assert g["test_fscore"] == w["test_fscore"], (g, w)
+        assert g["test_acc"] == w["test_acc"], (g, w)
+        assert abs(g["train_loss"] - w["train_loss"]) <= loss_atol, (g, w)
+        assert abs(g["test_loss"] - w["test_loss"]) <= loss_atol, (g, w)
+
+
+def test_vmap_stacked_dropout_matches_static(data):
+    """Dropout stacked on the config axis (VERDICT r4 next #5): a config
+    trained inside a mixed-dropout group via the traced rate override must
+    reproduce the same config trained with the rate folded statically —
+    slot for slot (identical dropout masks and selections; losses equal up
+    to the vmap-program ulp drift, see _histories_match)."""
+    train, test = data
+    lrs = (3e-3, 1e-4)
+    mixed = VmapSweep(base_cfg(dropout=0.4),
+                      [dict(lr=lrs[0], l2=1e-4, dropout=0.2),
+                       dict(lr=lrs[1], l2=1e-4, dropout=0.4)]).run(
+        train, test, verbose=False)
+    for k, dp in enumerate((0.2, 0.4)):
+        static = VmapSweep(base_cfg(dropout=dp),
+                           [dict(lr=lrs[0], l2=1e-4),
+                            dict(lr=lrs[1], l2=1e-4)]).run(
+            train, test, verbose=False)
+        _histories_match(mixed.history[k], static.history[k])
+    # a rate-0 config inside a stacked group is still exact (all-keep mask
+    # and x*1 scaling, not a skipped draw)
+    zmixed = VmapSweep(base_cfg(epochs=1, dropout=0.4),
+                       [dict(lr=lrs[0], l2=1e-4, dropout=0.0),
+                        dict(lr=lrs[1], l2=1e-4, dropout=0.4)]).run(
+        train, test, verbose=False)
+    zstatic = VmapSweep(base_cfg(epochs=1, dropout=0.0),
+                        [dict(lr=lrs[0], l2=1e-4),
+                         dict(lr=lrs[1], l2=1e-4)]).run(
+        train, test, verbose=False)
+    _histories_match(zmixed.history[0], zstatic.history[0])
 
 
 def test_vmap_diagnoses_missing_stackable_key():
