@@ -8,17 +8,27 @@ a ``state_dict`` they extracted themselves.  This tool converts both into
 our flax parameter tree so a trained reference model can be served/evaluated
 (or fine-tuned) here without retraining.
 
-Scope: the flagship architecture both reference sweep scripts train —
-``DialogueGNNModel`` with ``base_model='LSTM'``, ``graph_type`` GDF/GF,
-``modals='avl'``, ``att_type='concat_subsequently'``,
-``av_using_lstm=False``, ``use_crn_speaker=True`` (``run_train_ie.sh``,
-``run_train_me.sh``).  Live parameters on that path: the three modality
-projections, the ``lstm_l`` text bi-GRU, the shared ``rnn_parties`` CRN GRU,
-GCNII ``fcs.0`` + per-layer conv weights + the shared reason-LSTM, and the
-classifier head (``model.py:853-868,949-954``, ``model_GCN.py:412-433``).
-Parameters the reference allocates but never uses on this path (``a_fc``
-& co, ``model_mm.py:55-75``; ``att_model``; embeddings gated off by
-``use_speaker/use_modal=False``) are ignored, mirroring the forward.
+Scope: every family the reference trainer can save — the family is
+auto-detected from OUR param-tree template, so the config decides:
+
+* ``DialogueGNNModel`` graph types GDF/GF (flagship GCNII), GF2 (MM_GCN2),
+  multimodal ``relation`` (RGCN+GraphConv), ``DeepGCN`` (three per-modality
+  GCNII baselines, ``model.py:930-940``), ``GCN3`` (two GCNLayer1 over the
+  speaker chain, ``model.py:910-921``), and ``'None'`` (per-modality linear
+  + fusion head, ``model.py:960-976``) — each with any fusion head the
+  forward actually runs (``gated``/``tfn_only``/``lmf_only``/``mfn``
+  params are mapped whenever OUR tree allocates them), with or without
+  ``--av_using_lstm`` (``lstm_a``/``lstm_v`` encoders).
+* the non-graph baselines the reference trains with ``--graph_model``
+  false: ``GRUModel``/``LSTMModel`` (``model.py:281-356``) and
+  ``DialogRNNModel`` (``model.py:359-417``, simple/general context
+  attention, optional active listener).
+
+Parameters the reference allocates but never uses on a given path
+(``a_fc`` & co, ``model_mm.py:55-75``; ``att_model`` off the relation
+path; embeddings gated off by ``use_speaker/use_modal=False``; unused
+fusion heads; ``MFN.out_fc*``) are ignored, mirroring the forward —
+see :func:`_dead_prefixes`.
 
 The mapping is the exact inverse of the one the golden-oracle test uses to
 load OUR params into the REAL reference model
@@ -39,19 +49,24 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-# state_dict prefixes that are dead on the flagship forward path (see
-# module docstring + tests/test_reference_oracle.py:DEAD_PREFIXES)
-IGNORED_PREFIXES = (
-    "att_model.", "gatedatt.",
-    "graph_model.a_fc.", "graph_model.v_fc.", "graph_model.l_fc.",
-    "graph_model.feature_fc.", "graph_model.final_fc.",
-    "graph_model.modal_embeddings.", "graph_model.speaker_embeddings.",
-    "graph_model.a_spk_embs.", "graph_model.v_spk_embs.",
-    "graph_model.l_spk_embs.",
-    # GCNII_lyc allocates the reason-LSTM unconditionally
-    # (model_GCN.py:433); with reason_flag=False it never runs
-    "graph_model.graph_net.rnn.",
-)
+class _TrackedSD:
+    """Dict view over the checkpoint that records every key consumed, so
+    the stray-key check below is exact for every family (a live reference
+    weight the mapping forgot shows up as unread, not silently dropped)."""
+
+    def __init__(self, sd: Mapping):
+        self._sd = sd
+        self.read: set = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return self._sd[k]
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def keys(self):
+        return self._sd.keys()
 
 
 def _np(v) -> np.ndarray:
@@ -95,16 +110,41 @@ def _gru_from_sd(sd: Mapping, torch_name: str, params: Dict, our_name: str,
                  _np(sd[f"{torch_name}.bias_hh_l{layer}{suf}"]), used)
 
 
-# per-family dead-key prefixes (see tests/test_reference_oracle.py:
-# DEAD_PREFIXES / RELATION_DEAD and the GF2 mapping's assert_covered)
-FAMILY_IGNORED = {
-    "GDF": IGNORED_PREFIXES,
-    "GF2": ("att_model.", "gatedatt."),
-    # att_model.scalar IS live on the relation path (attn1 edge weights,
-    # model.py:445); the other MaskedEdgeAttention branches are dead there
-    "relation": ("att_model.matchatt.", "att_model.simpleatt.",
-                 "att_model.att.", "gatedatt."),
-}
+def _dead_prefixes(family: str, params: Mapping) -> tuple:
+    """state_dict prefixes the given path never runs (mirrors the oracle's
+    DEAD_PREFIXES / RELATION_DEAD sets in tests/test_reference_oracle.py,
+    computed from OUR template so e.g. an allocated-but-unused fusion head
+    or reason-LSTM is dead exactly when our tree lacks it)."""
+    if family in ("GRU", "LSTM", "DialogRNN"):
+        return ()                    # the baselines run every parameter
+    if family == "relation":
+        # att_model.scalar IS live on the relation path (attn1 edge
+        # weights, model.py:445); the other branches are dead there
+        dead = ["att_model.matchatt.", "att_model.simpleatt.",
+                "att_model.att."]
+    else:
+        dead = ["att_model."]        # MaskedEdgeAttention, relation-only
+    if "gatedatt" not in params:     # allocated unconditionally
+        dead.append("gatedatt.")     # (model.py:983), run iff att_type
+    if "mfn" in params:              # MFN.out_fc* allocated-never-run
+        dead += ["mfn.out_fc1.", "mfn.out_fc2."]   # (model_fusion.py:58-60)
+    if family == "GDF":
+        dead += ["graph_model.a_fc.", "graph_model.v_fc.",
+                 "graph_model.l_fc.", "graph_model.feature_fc.",
+                 "graph_model.final_fc.", "graph_model.modal_embeddings.",
+                 "graph_model.speaker_embeddings.", "graph_model.a_spk_embs.",
+                 "graph_model.v_spk_embs.", "graph_model.l_spk_embs.",
+                 # GCNII_lyc allocates the reason-LSTM unconditionally
+                 # (model_GCN.py:433); with reason_flag=False it never runs
+                 "graph_model.graph_net.rnn."]
+    elif family == "DeepGCN":
+        if "reason_w_ih" not in params["graph_net_a"]["stack"]:
+            dead += [f"graph_net_{m}.rnn." for m in "avl"]
+    elif family == "GCN3":
+        # GCN_2Layers allocates a classifier head it never runs when
+        # return_feature=True (model_GCN.py:136,149-151)
+        dead += [f"graph_net_{m}.linear." for m in "avl"]
+    return tuple(dead)
 
 
 def _detect_family(params: Mapping) -> str:
@@ -114,27 +154,91 @@ def _detect_family(params: Mapping) -> str:
         return "GDF"                 # GDF/GF share the MM_GCN/GCNII tree
     if "convs" in gm:
         return "GF2"                 # MM_GCN2 (model_mm.py:219-258)
-    if "graph_net_a" in params:
-        return "relation"            # three RGCN+GraphConv nets
+    g = params.get("graph_net_a")
+    if g is not None:
+        if "stack" in g:
+            return "DeepGCN"         # per-modality GCNII (model.py:930-940)
+        if "gcn1" in g:
+            return "GCN3"            # GCN_2Layers (model_GCN.py:121-154)
+        if "conv1" in g:
+            return "relation"        # three RGCN+GraphConv nets
+        if "kernel" in g:
+            return "None"            # per-modality linear (model.py:960-976)
+    if "head" in params:             # non-graph baselines (graph_model=False)
+        if "gru" in params:
+            return "GRU"
+        if "lstm" in params:
+            return "LSTM"
+        if "dialog_rnn_f" in params:
+            return "DialogRNN"
     raise ValueError(
-        "unrecognized param-tree template: expected the flagship GDF/GF "
-        "tree, the GF2 (MM_GCN2) tree, or the multimodal relation tree "
-        "(see module docstring for scope)")
+        "unrecognized param-tree template: expected a DialogueGNNModel "
+        "family (GDF/GF, GF2, relation, DeepGCN, GCN3, 'None') or a "
+        "non-graph baseline (GRU/LSTM/DialogRNN) — see module docstring")
 
 
 def _shared_from_sd(sd: Mapping, params: Dict, used: set) -> None:
     """Encoders + head shared by every DialogueGNNModel family
     (``model.py:853-868,949-954``): modality projections, text bi-GRU,
-    CRN party bi-GRU, smax head."""
+    CRN party bi-GRU (and the ``--av_using_lstm`` audio/visual bi-GRUs
+    when our tree allocates them), smax head."""
     for m in ("a", "v", "l"):
         _set(params, (f"linear_{m}", "kernel"),
              _np(sd[f"linear_{m}.weight"]).T, used)
         _set(params, (f"linear_{m}", "bias"),
              _np(sd[f"linear_{m}.bias"]), used)
-    _gru_from_sd(sd, "lstm_l", params, "lstm_l", used)
-    _gru_from_sd(sd, "rnn_parties", params, "rnn_parties", used)
+    for name in ("lstm_l", "rnn_parties", "lstm_a", "lstm_v"):
+        if name in params:           # lstm_a/lstm_v exist iff av_using_lstm
+            _gru_from_sd(sd, name, params, name, used)
     _set(params, ("smax_fc", "kernel"), _np(sd["smax_fc.weight"]).T, used)
     _set(params, ("smax_fc", "bias"), _np(sd["smax_fc.bias"]), used)
+
+
+def _dense_from_sd(sd: Mapping, prefix: str, tree: Mapping, path: tuple,
+                   params: Dict, used: set) -> None:
+    """Generic torch->flax mapping for subtrees whose module names match
+    the reference 1:1 (the inverse of the oracle's ``_dense_tree_entries``):
+    ``{kernel, bias}`` children map from ``nn.Linear`` weight/bias, bare
+    leaves map verbatim (e.g. LMF factors)."""
+    for k, v in tree.items():
+        sub = path + (k,)
+        if isinstance(v, dict) and "kernel" in v:
+            _set(params, sub + ("kernel",),
+                 _np(sd[f"{prefix}{k}.weight"]).T, used)
+            if "bias" in v:
+                _set(params, sub + ("bias",),
+                     _np(sd[f"{prefix}{k}.bias"]), used)
+        elif isinstance(v, dict):
+            _dense_from_sd(sd, f"{prefix}{k}.", v, sub, params, used)
+        else:
+            _set(params, sub, _np(sd[f"{prefix}{k}"]), used)
+
+
+def _fusion_from_sd(sd: Mapping, params: Dict, used: set) -> None:
+    """Fusion heads (mapped for ANY family whose tree allocates them):
+    gated MMGatedAttention / TFN / LMF via the 1:1 dense mapping, MFN via
+    its flat param names (nn/fusion.py:50-68 vs model_fusion.py:37-60)."""
+    for key in ("gatedatt", "tfn", "lmf"):
+        if key in params:
+            _dense_from_sd(sd, f"{key}.", params[key], (key,), params, used)
+    if "mfn" in params:
+        p = params["mfn"]
+        for m in ("l", "a", "v"):
+            _set(params, ("mfn", f"lstm_{m}_w_ih"),
+                 _np(sd[f"mfn.lstm_{m}.weight_ih"]).T, used)
+            _set(params, ("mfn", f"lstm_{m}_w_hh"),
+                 _np(sd[f"mfn.lstm_{m}.weight_hh"]).T, used)
+            _set(params, ("mfn", f"lstm_{m}_b_ih"),
+                 _np(sd[f"mfn.lstm_{m}.bias_ih"]), used)
+            _set(params, ("mfn", f"lstm_{m}_b_hh"),
+                 _np(sd[f"mfn.lstm_{m}.bias_hh"]), used)
+        for fc in ("att1_fc1", "att1_fc2", "att2_fc1", "att2_fc2",
+                   "gamma1_fc1", "gamma1_fc2", "gamma2_fc1", "gamma2_fc2"):
+            if f"{fc}_kernel" in p:
+                _set(params, ("mfn", f"{fc}_kernel"),
+                     _np(sd[f"mfn.{fc}.weight"]).T, used)
+                _set(params, ("mfn", f"{fc}_bias"),
+                     _np(sd[f"mfn.{fc}.bias"]), used)
 
 
 def _gdf_from_sd(sd: Mapping, params: Dict, used: set) -> int:
@@ -205,13 +309,101 @@ def _relation_from_sd(sd: Mapping, params: Dict, used: set) -> None:
              _np(sd[pre + "conv2.lin.bias"]), used)
 
 
+def _deepgcn_from_sd(sd: Mapping, params: Dict, used: set) -> None:
+    """graph_type='DeepGCN': three per-modality GCNII stacks
+    (``model.py:930-940``, ``model_GCN.py:224-285``) — fcs.0, the stacked
+    per-layer conv weights, and the shared reason-LSTM when our tree runs
+    it (reason_flag)."""
+    for m in ("a", "v", "l"):
+        g = (f"graph_net_{m}", "stack")
+        node = params[f"graph_net_{m}"]["stack"]
+        _set(params, g + ("fc_in", "kernel"),
+             _np(sd[f"graph_net_{m}.fcs.0.weight"]).T, used)
+        _set(params, g + ("fc_in", "bias"),
+             _np(sd[f"graph_net_{m}.fcs.0.bias"]), used)
+        nlayers = np.asarray(node["conv_w"]).shape[0]
+        conv = np.stack([_np(sd[f"graph_net_{m}.convs.{i}.weight"])
+                         for i in range(nlayers)])
+        _set(params, g + ("conv_w",), conv, used)
+        if "reason_w_ih" in node:
+            _set(params, g + ("reason_w_ih",),
+                 _np(sd[f"graph_net_{m}.rnn.weight_ih_l0"]).T, used)
+            _set(params, g + ("reason_w_hh",),
+                 _np(sd[f"graph_net_{m}.rnn.weight_hh_l0"]).T, used)
+            _set(params, g + ("reason_b_ih",),
+                 _np(sd[f"graph_net_{m}.rnn.bias_ih_l0"]), used)
+            _set(params, g + ("reason_b_hh",),
+                 _np(sd[f"graph_net_{m}.rnn.bias_hh_l0"]), used)
+
+
+def _gcn3_from_sd(sd: Mapping, params: Dict, used: set) -> None:
+    """graph_type='GCN3': two GCNLayer1 per modality over the directed
+    speaker chain (``model.py:910-921``, ``model_GCN.py:121-154``); each
+    layer is one linear."""
+    for m in ("a", "v", "l"):
+        for layer in ("gcn1", "gcn2"):
+            _set(params, (f"graph_net_{m}", layer, "TorchDense_0", "kernel"),
+                 _np(sd[f"graph_net_{m}.{layer}.linear.weight"]).T, used)
+            _set(params, (f"graph_net_{m}", layer, "TorchDense_0", "bias"),
+                 _np(sd[f"graph_net_{m}.{layer}.linear.bias"]), used)
+
+
+def _none_from_sd(sd: Mapping, params: Dict, used: set) -> None:
+    """graph_type='None': a bare per-modality linear
+    (``model.py:960-976``); the fusion head is mapped separately."""
+    for m in ("a", "v", "l"):
+        if f"graph_net_{m}" not in params:
+            continue
+        _set(params, (f"graph_net_{m}", "kernel"),
+             _np(sd[f"graph_net_{m}.weight"]).T, used)
+        _set(params, (f"graph_net_{m}", "bias"),
+             _np(sd[f"graph_net_{m}.bias"]), used)
+
+
+def _basic_recurrent_from_sd(sd: Mapping, params: Dict, used: set,
+                             kind: str) -> None:
+    """GRUModel/LSTMModel (``model.py:281-356``): the 2-layer bi-recurrence
+    (torch LSTM/GRU state_dicts share the key layout) + the attention
+    classifier head, whose child names match the reference top level."""
+    _gru_from_sd(sd, kind, params, kind, used)
+    _dense_from_sd(sd, "", params["head"], ("head",), params, used)
+
+
+def _dialogrnn_from_sd(sd: Mapping, params: Dict, used: set) -> None:
+    """DialogRNNModel (``model.py:359-417``): forward/reverse DialogueRNN
+    cell stacks (party/global/emotion GRUCells + optional listener cell +
+    simple/general context attention) + the shared classifier head."""
+    for d in ("dialog_rnn_f", "dialog_rnn_r"):
+        cell = params[d]["cell"]
+        for c in ("g_cell", "p_cell", "e_cell", "l_cell"):
+            if c not in cell:
+                continue
+            _set(params, (d, "cell", c, "w_ih"),
+                 _np(sd[f"{d}.dialogue_cell.{c}.weight_ih"]).T, used)
+            _set(params, (d, "cell", c, "w_hh"),
+                 _np(sd[f"{d}.dialogue_cell.{c}.weight_hh"]).T, used)
+            _set(params, (d, "cell", c, "b_ih"),
+                 _np(sd[f"{d}.dialogue_cell.{c}.bias_ih"]), used)
+            _set(params, (d, "cell", c, "b_hh"),
+                 _np(sd[f"{d}.dialogue_cell.{c}.bias_hh"]), used)
+        if "att_scalar" in cell:     # context_attention='simple'
+            _set(params, (d, "cell", "att_scalar", "kernel"),
+                 _np(sd[f"{d}.dialogue_cell.attention.scalar.weight"]).T,
+                 used)
+        if "att_transform" in cell:  # context_attention='general'
+            _set(params, (d, "cell", "att_transform", "kernel"),
+                 _np(sd[f"{d}.dialogue_cell.attention.transform.weight"]).T,
+                 used)
+    _dense_from_sd(sd, "", params["head"], ("head",), params, used)
+
+
 def state_dict_to_params(sd: Mapping[str, Any], params: Mapping) -> Dict:
     """Map a reference ``DialogueGNNModel.state_dict()`` onto our flax tree.
 
     Args:
-      sd: the torch state_dict (tensors or ndarrays) of a flagship GDF/GF,
-        GF2, or multimodal-relation DialogueGNNModel; the family is
-        auto-detected from the structure of ``params``.
+      sd: the torch state_dict (tensors or ndarrays) of any supported
+        family (see module docstring); the family is auto-detected from
+        the structure of ``params``.
       params: our initialized param tree (shape/structure template, e.g.
         ``Trainer(cfg).init_state().params``); not mutated.
     Returns:
@@ -231,15 +423,27 @@ def state_dict_to_params(sd: Mapping[str, Any], params: Mapping) -> Dict:
     params = jax.tree_util.tree_map(np.asarray, params)
     used: set = set()
     family = _detect_family(params)
+    sd = _TrackedSD(sd)
 
-    _shared_from_sd(sd, params, used)
-    nlayers = 0
-    if family == "GDF":
-        nlayers = _gdf_from_sd(sd, params, used)
-    elif family == "GF2":
-        nlayers = _gf2_from_sd(sd, params, used)
+    if family in ("GRU", "LSTM"):
+        _basic_recurrent_from_sd(sd, params, used, family.lower())
+    elif family == "DialogRNN":
+        _dialogrnn_from_sd(sd, params, used)
     else:
-        _relation_from_sd(sd, params, used)
+        _shared_from_sd(sd, params, used)
+        if family == "GDF":
+            _gdf_from_sd(sd, params, used)
+        elif family == "GF2":
+            _gf2_from_sd(sd, params, used)
+        elif family == "relation":
+            _relation_from_sd(sd, params, used)
+        elif family == "DeepGCN":
+            _deepgcn_from_sd(sd, params, used)
+        elif family == "GCN3":
+            _gcn3_from_sd(sd, params, used)
+        else:                              # 'None': per-modality linear
+            _none_from_sd(sd, params, used)
+        _fusion_from_sd(sd, params, used)  # whatever head our tree runs
 
     # loud completeness check: every checkpoint key must be either imported
     # or known-dead; every one of OUR leaves must have been written
@@ -250,53 +454,15 @@ def state_dict_to_params(sd: Mapping[str, Any], params: Mapping) -> Dict:
             f"import covered {imported_count} of our {leaves} param leaves "
             f"({family}) — the model config does not match an architecture "
             "this importer supports (see module docstring)")
-    stray = [k for k in sd
-             if not k.startswith(FAMILY_IGNORED[family])
-             and k not in _mapped_keys(family, nlayers)]
+    dead = _dead_prefixes(family, params)
+    stray = [k for k in sd.keys()
+             if k not in sd.read and not (dead and k.startswith(dead))]
     if stray:
         raise KeyError(
             f"live reference parameters with no mapping ({family}): {stray} "
             "— the checkpoint was trained on a path this importer does not "
             "support (see module docstring for scope)")
     return params
-
-
-def _mapped_keys(family: str, nlayers: int) -> set:
-    keys = set()
-    for m in ("a", "v", "l"):
-        keys |= {f"linear_{m}.weight", f"linear_{m}.bias"}
-    for name in ("lstm_l", "rnn_parties"):
-        for layer in range(2):
-            for suf in ("", "_reverse"):
-                keys |= {f"{name}.weight_ih_l{layer}{suf}",
-                         f"{name}.weight_hh_l{layer}{suf}",
-                         f"{name}.bias_ih_l{layer}{suf}",
-                         f"{name}.bias_hh_l{layer}{suf}"}
-    keys |= {"smax_fc.weight", "smax_fc.bias"}
-    if family == "GDF":
-        keys |= {"graph_model.graph_net.fcs.0.weight",
-                 "graph_model.graph_net.fcs.0.bias"}
-        keys |= {f"graph_model.graph_net.convs.{i}.weight"
-                 for i in range(nlayers)}
-        keys |= {"graph_model.graph_net.rnn.weight_ih_l0",
-                 "graph_model.graph_net.rnn.weight_hh_l0",
-                 "graph_model.graph_net.rnn.bias_ih_l0",
-                 "graph_model.graph_net.rnn.bias_hh_l0"}
-    elif family == "GF2":
-        keys |= {f"graph_model.fcs.{i}.{w}"
-                 for i in range(3) for w in ("weight", "bias")}
-        keys |= {f"graph_model.convs.{i}.weight" for i in range(nlayers)}
-    else:
-        keys.add("att_model.scalar.weight")
-        for m in ("a", "v", "l"):
-            keys |= {f"graph_net_{m}.conv1.basis",
-                     f"graph_net_{m}.conv1.att",
-                     f"graph_net_{m}.conv1.root",
-                     f"graph_net_{m}.conv1.bias",
-                     f"graph_net_{m}.conv2.weight",
-                     f"graph_net_{m}.conv2.lin.weight",
-                     f"graph_net_{m}.conv2.lin.bias"}
-    return keys
 
 
 def import_reference_checkpoint(obj_or_path, cfg) -> Any:
@@ -343,24 +509,53 @@ def main(argv=None) -> int:
     ap.add_argument("--dataset", default="IEMOCAP",
                     choices=["IEMOCAP", "MELD"])
     ap.add_argument("--graph_type", default="GDF",
-                    choices=["GDF", "GF", "GF2", "relation"])
+                    choices=["GDF", "GF", "GF2", "relation", "DeepGCN",
+                             "GCN3", "None"])
     ap.add_argument("--Deep_GCN_nlayers", type=int, default=16,
-                    help="GDF/GF only (GF2 hard-codes 64 conv layers, "
-                         "model.py:956; relation has none)")
+                    help="GDF/GF/DeepGCN (GF2 hard-codes 64 conv layers, "
+                         "model.py:956; relation/GCN3/None have none)")
     ap.add_argument("--no_use_residue", action="store_true",
-                    help="GF2 only: the use_residue=False variant")
+                    help="the use_residue=False variant")
     ap.add_argument("--speaker_weights", type=str, default="3-0-1")
+    ap.add_argument("--reason_flag", choices=["auto", "true", "false"],
+                    default="auto",
+                    help="reason-LSTM inside the GCNII stacks; 'auto' = on "
+                         "for GDF, off otherwise (DeepGCN supports both)")
+    ap.add_argument("--mm_fusion_mthd", default="concat_subsequently",
+                    choices=["concat_subsequently", "concat_only", "gated",
+                             "tfn_only", "lmf_only", "mfn_only", "mfn"],
+                    help="fusion head the checkpoint was trained with")
+    ap.add_argument("--av_using_lstm", action="store_true",
+                    help="checkpoint has lstm_a/lstm_v encoders")
+    ap.add_argument("--no_graph_model", dest="graph_model",
+                    action="store_false", default=True,
+                    help="non-graph baseline checkpoint (GRUModel/"
+                         "LSTMModel/DialogRNNModel); pick with --base_model")
+    ap.add_argument("--base_model", default="LSTM",
+                    choices=["LSTM", "GRU", "DialogRNN"])
+    ap.add_argument("--active_listener", action="store_true",
+                    help="DialogRNN: listener-state variant")
+    ap.add_argument("--attention", default="general",
+                    choices=["simple", "general"],
+                    help="DialogRNN context attention")
     args = ap.parse_args(argv)
 
     from mmdfn_tpu.config import ExperimentConfig
     from mmdfn_tpu.runtime.checkpoint import save_checkpoint
 
+    reason = ((args.graph_type == "GDF") if args.reason_flag == "auto"
+              else args.reason_flag == "true")
     cfg = ExperimentConfig(
         dataset=args.dataset, graph_type=args.graph_type,
-        reason_flag=(args.graph_type == "GDF"),
+        graph_model=args.graph_model, base_model=args.base_model,
+        reason_flag=reason,
         Deep_GCN_nlayers=args.Deep_GCN_nlayers,
         use_residue=not args.no_use_residue,
-        speaker_weights=args.speaker_weights)
+        speaker_weights=args.speaker_weights,
+        mm_fusion_mthd=args.mm_fusion_mthd,
+        av_using_lstm=args.av_using_lstm,
+        active_listener=args.active_listener,
+        attention=args.attention)
     state = import_reference_checkpoint(args.load_model, cfg)
     import dataclasses
     path = save_checkpoint(args.out, state,

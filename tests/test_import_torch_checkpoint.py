@@ -233,3 +233,203 @@ def test_import_gf2_torch_save_to_test_label_eval(rng, tmp_path):
     test = IEMOCAPDataset(pkl, False).dialogues()
     m = Trainer(cfg).evaluate(state, test)
     assert np.isfinite(m.loss) and 0 <= m.acc <= 100
+
+
+def _forward_pair(ref, ours_model, batch, B, L):
+    """theirs (real reference, eval) and ours (imported weights) packed
+    log-probs."""
+    ref.eval()
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+    template = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    params = state_dict_to_params(ref.state_dict(), template["params"])
+    ours = np.asarray(ours_model.apply(
+        {"params": params}, jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True))
+    return ours.reshape(B * L, -1), theirs
+
+
+@pytest.mark.parametrize("reason_flag", [True, False])
+def test_import_deepgcn_checkpoint_reproduces_forward(rng, reason_flag):
+    """DeepGCN import (three per-modality GCNII stacks, model.py:930-940):
+    reference-initialized weights transplant with forward agreement, with
+    and without the reason-LSTM."""
+    B, L, NL = 2, 6, 4
+    torch.manual_seed(11)
+    ref = build_reference_model(NL, dropout=0.4, reason_flag=reason_flag,
+                                graph_type="DeepGCN")
+    batch = make_exact_batch(rng, B, L)
+    ours_model = build_ours(NL, dropout=0.4, graph_type="DeepGCN",
+                            reason_flag=reason_flag)
+    ours, theirs = _forward_pair(ref, ours_model, batch, B, L)
+    diff = np.abs(ours - theirs)
+    print(f"\nDeepGCN imported-weights diff (reason={reason_flag}): "
+          f"max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+def test_import_gcn3_checkpoint_reproduces_forward(rng):
+    """GCN3 import (two GCNLayer1 over the speaker chain,
+    model.py:910-921).  B=1: the reference's speaker-graph builder is
+    batch-degenerate beyond dialogue 0 (see
+    test_reference_oracle.test_gcn3_reference_speaker_graph_batch_degeneracy),
+    so single-dialogue is where agreement is well-defined."""
+    B, L = 1, 7
+    torch.manual_seed(12)
+    ref = build_reference_model(2, dropout=0.4, graph_type="GCN3")
+    batch = make_exact_batch(rng, B, L)
+    ours_model = build_ours(2, dropout=0.4, graph_type="GCN3",
+                            reason_flag=False)
+    ours, theirs = _forward_pair(ref, ours_model, batch, B, L)
+    diff = np.abs(ours - theirs)
+    print(f"\nGCN3 imported-weights diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+def test_import_none_gated_checkpoint_reproduces_forward(rng):
+    """graph_type='None' with the GATED fusion head (model.py:960-976,
+    1353-1399): the fusion params (gatedatt) must be imported, not treated
+    as dead, exactly because our tree allocates them."""
+    B, L = 2, 6
+    torch.manual_seed(13)
+    ref = build_reference_model(2, dropout=0.4, graph_type="None",
+                                att_type="gated")
+    batch = make_exact_batch(rng, B, L)
+    ours_model = build_ours(2, dropout=0.4, graph_type="None",
+                            att_type="gated", reason_flag=False)
+    ours, theirs = _forward_pair(ref, ours_model, batch, B, L)
+    diff = np.abs(ours - theirs)
+    print(f"\nNone/gated imported-weights diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+def test_import_av_using_lstm_checkpoint_reproduces_forward(rng):
+    """--av_using_lstm: the audio/visual bi-GRU encoders (model.py:854-1096)
+    import alongside the flagship GDF stack."""
+    B, L, NL = 2, 6, 2
+    torch.manual_seed(14)
+    ref = build_reference_model(NL, dropout=0.3, av_using_lstm=True)
+    batch = make_exact_batch(rng, B, L)
+    ours_model = build_ours(NL, dropout=0.3, av_using_lstm=True)
+    ours, theirs = _forward_pair(ref, ours_model, batch, B, L)
+    diff = np.abs(ours - theirs)
+    print(f"\nav_using_lstm imported-weights diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+@pytest.mark.parametrize("kind", ["GRU", "LSTM"])
+def test_import_basic_recurrent_checkpoint_reproduces_forward(rng, kind):
+    """The non-graph GRU/LSTM baselines (model.py:281-356, trained with
+    --no_graph_model): 2-layer bi-recurrence + MatchingAttention head."""
+    from mmdfn_tpu.models.baselines import GRUModel, LSTMModel
+    from test_reference_oracle import load_reference
+
+    B, L, D_m, D_e, D_h, NC = 2, 6, 24, 16, 12, 6
+    torch.manual_seed(15)
+    ref_model, _ = load_reference()
+    ref_cls = ref_model.LSTMModel if kind == "LSTM" else ref_model.GRUModel
+    ref = ref_cls(D_m, D_e, D_h, n_classes=NC, dropout=0.4)
+    ref.eval()
+
+    U = rng.standard_normal((B, L, D_m)).astype(np.float32)
+    umask = np.ones((B, L), np.float32)
+    qmask = np.zeros((B, L, 2), np.float32)
+    qmask[:, :, 0] = 1.0
+    tt = lambda a: torch.tensor(np.swapaxes(a, 0, 1))
+    with torch.no_grad():
+        theirs = ref(tt(U), tt(qmask), torch.tensor(umask))[0].numpy()
+
+    cls = LSTMModel if kind == "LSTM" else GRUModel
+    ours_model = cls(D_m, D_e, D_h, n_classes=NC, dropout=0.4)
+    template = ours_model.init(jax.random.PRNGKey(0), jnp.array(U),
+                               jnp.array(qmask), jnp.array(umask),
+                               deterministic=True)
+    params = state_dict_to_params(ref.state_dict(), template["params"])
+    ours = np.asarray(ours_model.apply(
+        {"params": params}, jnp.array(U), jnp.array(qmask),
+        jnp.array(umask), deterministic=True))
+    diff = np.abs(ours - np.swapaxes(theirs, 0, 1))
+    print(f"\n{kind} baseline imported-weights diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+@pytest.mark.parametrize("context_attention,listener",
+                         [("simple", False), ("general", True)])
+def test_import_dialogrnn_checkpoint_reproduces_forward(
+        rng, context_attention, listener):
+    """The DialogRNN baseline (model.py:359-417): party/global/emotion
+    GRU cells (+ listener cell), simple/general context attention, head."""
+    from mmdfn_tpu.models.baselines import DialogRNNModel
+    from test_reference_oracle import load_reference
+
+    B, L, D_m, NC = 2, 5, 20, 6
+    D_g = D_p = 14
+    D_e = D_h = D_a = 12
+    torch.manual_seed(16)
+    ref_model, _ = load_reference()
+    ref = ref_model.DialogRNNModel(
+        D_m, D_g, D_p, D_e, D_h, D_a, n_classes=NC,
+        listener_state=listener, context_attention=context_attention,
+        dropout_rec=0.5, dropout=0.4)
+    ref.eval()
+
+    U = rng.standard_normal((B, L, D_m)).astype(np.float32)
+    umask = np.ones((B, L), np.float32)
+    spk = rng.integers(0, 2, size=(B, L))
+    qmask = np.zeros((B, L, 2), np.float32)
+    qmask[np.arange(B)[:, None], np.arange(L)[None, :], spk] = 1.0
+    tt = lambda a: torch.tensor(np.swapaxes(a, 0, 1))
+    with torch.no_grad():
+        theirs = ref(tt(U), tt(qmask), torch.tensor(umask))[0].numpy()
+
+    ours_model = DialogRNNModel(
+        D_m, D_g, D_p, D_e, D_h, D_a, n_classes=NC,
+        listener_state=listener, context_attention=context_attention,
+        dropout_rec=0.5, dropout=0.4)
+    template = ours_model.init(jax.random.PRNGKey(0), jnp.array(U),
+                               jnp.array(qmask), jnp.array(umask),
+                               deterministic=True)
+    params = state_dict_to_params(ref.state_dict(), template["params"])
+    ours = np.asarray(ours_model.apply(
+        {"params": params}, jnp.array(U), jnp.array(qmask),
+        jnp.array(umask), deterministic=True))
+    diff = np.abs(ours - np.swapaxes(theirs, 0, 1))
+    print(f"\nDialogRNN/{context_attention} listener={listener} "
+          f"imported-weights diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
+def test_import_gru_baseline_through_trainer_eval(rng, tmp_path):
+    """Full migration for a --no_graph_model baseline: torch.save of the
+    reference GRUModel at the trainer's dims -> import_reference_checkpoint
+    (family auto-detected) -> Trainer eval."""
+    from mmdfn_tpu.config import D_E, D_H, ExperimentConfig
+    from mmdfn_tpu.data.datasets import IEMOCAPDataset
+    from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+    from mmdfn_tpu.tools import import_reference_checkpoint
+    from mmdfn_tpu.train import Trainer
+    from test_reference_oracle import load_reference
+
+    torch.manual_seed(17)
+    ref_model, _ = load_reference()
+    ref = ref_model.GRUModel(100, D_E, D_H, n_classes=6, dropout=0.4)
+    path = str(tmp_path / "reference_gru.pkl")
+    torch.save(ref, path)
+
+    cfg = ExperimentConfig(dataset="IEMOCAP", graph_model=False,
+                           base_model="GRU", batch_size=2, buckets=(8,),
+                           speaker_weights="3-0-1")
+    state = import_reference_checkpoint(path, cfg)
+
+    pkl = str(tmp_path / "iem.pkl")
+    make_synthetic_iemocap_pickle(pkl, n_train=2, n_test=2, min_len=4,
+                                  max_len=8, seed=5)
+    test = IEMOCAPDataset(pkl, False).dialogues()
+    m = Trainer(cfg).evaluate(state, test)
+    assert np.isfinite(m.loss) and 0 <= m.acc <= 100

@@ -212,7 +212,8 @@ DATASETS = dict(
 
 def build_reference_model(nlayers, dropout, reason_flag=True,
                           dataset="IEMOCAP", graph_type="GDF",
-                          av_using_lstm=False, use_residue=True):
+                          av_using_lstm=False, use_residue=True,
+                          att_type="concat_subsequently"):
     """The real DialogueGNNModel with the flagship flag assembly
     (run_train_erc.py:416-452 + run_train_ie.sh flags)."""
     ref_model, _ = load_reference()
@@ -225,7 +226,7 @@ def build_reference_model(nlayers, dropout, reason_flag=True,
         no_cuda=True, graph_type=graph_type, use_topic=False, alpha=ALPHA,
         lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
         use_residue=use_residue, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
-        modals="avl", att_type="concat_subsequently",
+        modals="avl", att_type=att_type,
         av_using_lstm=av_using_lstm,
         Deep_GCN_nlayers=nlayers, dataset=dataset, use_speaker=False,
         use_modal=False, reason_flag=reason_flag, multi_modal=True,
@@ -319,16 +320,19 @@ def reference_forward(ref, batch):
 
 
 def build_ours(nlayers, dropout, dataset="IEMOCAP", av_using_lstm=False,
-               graph_type="GDF", use_residue=True):
+               graph_type="GDF", use_residue=True,
+               att_type="concat_subsequently", reason_flag=None):
     d = DATASETS[dataset]
     return DialogueGNN(
         base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
         D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
         n_classes=d["n_classes"], dropout=dropout,
-        graph_type=graph_type, reason_flag=(graph_type == "GDF"),
+        graph_type=graph_type,
+        reason_flag=(graph_type == "GDF" if reason_flag is None
+                     else reason_flag),
         deep_gcn_nlayers=nlayers, use_residue=use_residue,
         use_crn_speaker=True, speaker_weights=d["sw"], alpha=ALPHA,
-        lamda=LAMDA, av_using_lstm=av_using_lstm)
+        lamda=LAMDA, av_using_lstm=av_using_lstm, att_type=att_type)
 
 
 @pytest.mark.parametrize("dataset,nlayers,atol", [
