@@ -26,7 +26,6 @@ import jax.numpy as jnp
 
 from mmdfn_tpu.graph.relation import relation_type_ids, window_edge_mask
 from mmdfn_tpu.nn.attention import MaskedEdgeAttention, MatchingAttention
-from mmdfn_tpu.nn.gcn import GCNLayer1
 from mmdfn_tpu.nn.linear import TorchDense
 from mmdfn_tpu.utils import torch_init
 
@@ -88,7 +87,8 @@ class DenseGraphConv(nn.Module):
 class GraphNetwork(nn.Module):
     """Relation-graph network (reference ``GraphNetwork``,
     ``model.py:675-715``): RGCN -> GraphConv -> residual concat, optional
-    parallel GCNLayer1 branch (``use_GCN``), and the nodal-attention
+    degenerate ``use_GCN`` linear branch (faithful quirk, see
+    forward), and the nodal-attention
     classifier (``classify_node_features``, ``model.py:647-672``)."""
 
     num_features: int
@@ -112,8 +112,15 @@ class GraphNetwork(nn.Module):
             x, edge_weight, rel_ids, edge_mask)
         out1 = DenseGraphConv(self.hidden_size, name="conv2")(out1, edge_mask)
         if self.use_GCN:
-            out2 = GCNLayer1(self.hidden_size, new_graph=False, name="conv3")(x, qmask, umask)
-            out2 = GCNLayer1(self.hidden_size, new_graph=False, name="conv4")(out2, qmask, umask)
+            # FAITHFUL QUIRK (DESIGN.md): upstream's conv3/conv4 are
+            # GCNLayer1(..., use_topic=False) left at new_graph=True and
+            # called with the EMPTY topicLabel list in the qmask slot
+            # (model.py:691-701) — the directed-speaker builder then finds
+            # no speakers and returns the identity adjacency
+            # (model_GCN.py:86-118), so each "conv" is exactly
+            # ``linear(I @ x)``: two plain dense layers, no graph at all.
+            out2 = TorchDense(self.hidden_size, name="conv3")(x)
+            out2 = TorchDense(self.hidden_size, name="conv4")(out2)
             emotions = jnp.concatenate([x, out1, out2], axis=-1)
         else:
             emotions = jnp.concatenate([x, out1], axis=-1)

@@ -122,6 +122,15 @@ def _dead_prefixes(family: str, params: Mapping) -> tuple:
         # weights, model.py:445); the other branches are dead there
         dead = ["att_model.matchatt.", "att_model.simpleatt.",
                 "att_model.att."]
+        for m in "avl":
+            g = params.get(f"graph_net_{m}", {})
+            # multimodal nets return features before the in-net classifier
+            # runs; with use_GCN the reference still allocates the wider
+            # linear/matchatt (model.py:693-694) — dead iff our tree
+            # (return_feature=True) lacks them
+            if "linear" not in g:
+                dead += [f"graph_net_{m}.linear.",
+                         f"graph_net_{m}.matchatt."]
     else:
         dead = ["att_model."]        # MaskedEdgeAttention, relation-only
     if "gatedatt" not in params:     # allocated unconditionally
@@ -307,6 +316,14 @@ def _relation_from_sd(sd: Mapping, params: Dict, used: set) -> None:
              _np(sd[pre + "conv2.lin.weight"]).T, used)
         _set(params, (net, "conv2", "root", "bias"),
              _np(sd[pre + "conv2.lin.bias"]), used)
+        # --use_gcn: conv3/conv4 are plain linears (the upstream "GCN
+        # branch" runs an identity adjacency — DESIGN.md faithful quirk)
+        if "conv3" in params[net]:
+            for conv in ("conv3", "conv4"):
+                _set(params, (net, conv, "kernel"),
+                     _np(sd[pre + f"{conv}.linear.weight"]).T, used)
+                _set(params, (net, conv, "bias"),
+                     _np(sd[pre + f"{conv}.linear.bias"]), used)
 
 
 def _deepgcn_from_sd(sd: Mapping, params: Dict, used: set) -> None:
@@ -527,6 +544,9 @@ def main(argv=None) -> int:
                     help="fusion head the checkpoint was trained with")
     ap.add_argument("--av_using_lstm", action="store_true",
                     help="checkpoint has lstm_a/lstm_v encoders")
+    ap.add_argument("--use_gcn", action="store_true",
+                    help="relation: checkpoint trained with --use_gcn "
+                         "(conv3/conv4 linears)")
     ap.add_argument("--no_graph_model", dest="graph_model",
                     action="store_false", default=True,
                     help="non-graph baseline checkpoint (GRUModel/"
@@ -553,7 +573,7 @@ def main(argv=None) -> int:
         use_residue=not args.no_use_residue,
         speaker_weights=args.speaker_weights,
         mm_fusion_mthd=args.mm_fusion_mthd,
-        av_using_lstm=args.av_using_lstm,
+        av_using_lstm=args.av_using_lstm, use_gcn=args.use_gcn,
         active_listener=args.active_listener,
         attention=args.attention)
     state = import_reference_checkpoint(args.load_model, cfg)

@@ -255,6 +255,36 @@ def _forward_pair(ref, ours_model, batch, B, L):
     return ours.reshape(B * L, -1), theirs
 
 
+def test_import_relation_use_gcn_checkpoint_reproduces_forward(rng):
+    """--use_gcn relation checkpoints: conv3/conv4 (plain linears — the
+    upstream 'GCN branch' runs an identity adjacency, DESIGN.md) import
+    alongside the RGCN/GraphConv nets; the allocated-but-unrun wider
+    linear/matchatt are dead keys."""
+    from mmdfn_tpu.models import DialogueGNN
+    from test_reference_oracle import ALPHA, LAMDA, DATASETS
+
+    B, L = 2, 6
+    d = DATASETS["IEMOCAP"]
+    torch.manual_seed(18)
+    ref = build_reference_model(2, dropout=0.4, graph_type="relation",
+                                use_GCN=True)
+    # upstream's use_GCN head is mis-sized (900 vs the 1200-wide concat,
+    # model.py:985 — pinned by the oracle test); a trainable checkpoint
+    # necessarily carries the fixed head, so the round-trip does too
+    ref.smax_fc = torch.nn.Linear(1200, d["n_classes"])
+    batch = make_exact_batch(rng, B, L)
+    ours_model = DialogueGNN(
+        base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
+        D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
+        n_classes=d["n_classes"], dropout=0.4, graph_type="relation",
+        reason_flag=False, deep_gcn_nlayers=2, use_crn_speaker=True,
+        use_gcn=True, speaker_weights=d["sw"], alpha=ALPHA, lamda=LAMDA)
+    ours, theirs = _forward_pair(ref, ours_model, batch, B, L)
+    diff = np.abs(ours - theirs)
+    print(f"\nrelation/use_GCN imported-weights diff: max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
 @pytest.mark.parametrize("reason_flag", [True, False])
 def test_import_deepgcn_checkpoint_reproduces_forward(rng, reason_flag):
     """DeepGCN import (three per-modality GCNII stacks, model.py:930-940):

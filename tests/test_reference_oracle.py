@@ -213,7 +213,7 @@ DATASETS = dict(
 def build_reference_model(nlayers, dropout, reason_flag=True,
                           dataset="IEMOCAP", graph_type="GDF",
                           av_using_lstm=False, use_residue=True,
-                          att_type="concat_subsequently"):
+                          att_type="concat_subsequently", use_GCN=False):
     """The real DialogueGNNModel with the flagship flag assembly
     (run_train_erc.py:416-452 + run_train_ie.sh flags)."""
     ref_model, _ = load_reference()
@@ -224,7 +224,7 @@ def build_reference_model(nlayers, dropout, reason_flag=True,
         window_future=10, n_classes=d["n_classes"], listener_state=False,
         context_attention="general", dropout=dropout, nodal_attention=True,
         no_cuda=True, graph_type=graph_type, use_topic=False, alpha=ALPHA,
-        lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
+        lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=use_GCN,
         use_residue=use_residue, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
         modals="avl", att_type=att_type,
         av_using_lstm=av_using_lstm,
@@ -1085,6 +1085,90 @@ def test_relation_forward_matches_real_reference(rng, dataset):
     assert diff.max() < 1e-4, (
         f"relation forward mismatch vs the real reference ({dataset}): "
         f"max={diff.max():.2e}")
+
+
+def test_relation_use_gcn_forward_matches_real_reference(rng):
+    """``--use_gcn``: upstream's conv3/conv4 "GCN branch" receives the
+    EMPTY topicLabel list in the qmask slot of the directed-speaker builder
+    (model.py:691-701), whose adjacency degenerates to the identity
+    (model_GCN.py:86-118) — each conv is exactly linear(x).  We reproduce
+    the degenerate math (DESIGN.md faithful-quirk record); this pins full
+    forward agreement against the real reference, plus the degeneracy
+    itself so a reference re-read notices if the analysis stops holding.
+
+    Second latent bug pinned here: the multimodal head is hard-sized
+    ``300*len(modals)`` (model.py:985) but use_GCN widens the per-modality
+    features to 400 — the published use_GCN path crashes at the classifier,
+    so (GF2 precedent) the oracle runs the reference under a
+    correctly-sized-head shim."""
+    B, L = 3, 7
+    d = DATASETS["IEMOCAP"]
+    batch = make_exact_batch(rng, B, L)
+    ours_model = DialogueGNN(
+        base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
+        D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
+        n_classes=d["n_classes"], dropout=0.4, graph_type="relation",
+        reason_flag=False, deep_gcn_nlayers=2, use_crn_speaker=True,
+        use_gcn=True, speaker_weights=d["sw"], alpha=ALPHA, lamda=LAMDA)
+    variables = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        jnp.array(batch["audio"]), jnp.array(batch["visual"]),
+        deterministic=True)
+    ours = np.asarray(ours_model.apply(
+        variables, jnp.array(batch["text"]), jnp.array(batch["qmask"]),
+        jnp.array(batch["umask"]), jnp.array(batch["audio"]),
+        jnp.array(batch["visual"]), deterministic=True))
+
+    ref = build_reference_model(2, dropout=0.4, graph_type="relation",
+                                use_GCN=True)
+    # pin the upstream head-width bug: the head is hard-sized 900
+    # (300*len(modals), model.py:985) but the use_GCN concat produces
+    # (200+100+100)*3 = 1200-wide features — the published path crashes
+    # at the classifier matmul
+    assert ref.smax_fc.weight.shape == (d["n_classes"], 900)
+    ref.eval()
+    with torch.no_grad(), pytest.raises(RuntimeError):
+        reference_forward(ref, batch)
+    ref.smax_fc = torch.nn.Linear(1200, d["n_classes"])  # evident intent
+
+    p = variables["params"]
+    sd = {}
+    _encoder_and_head_entries(sd, p)
+    t = lambda a: torch.tensor(np.asarray(a))
+    sd["att_model.scalar.weight"] = t(p["att_model"]["scalar"]["kernel"]).T
+    for m in "avl":
+        g = p[f"graph_net_{m}"]
+        _relation_conv_entries(sd, f"graph_net_{m}.", g)
+        for conv in ("conv3", "conv4"):
+            sd[f"graph_net_{m}.{conv}.linear.weight"] = t(
+                g[conv]["kernel"]).T
+            sd[f"graph_net_{m}.{conv}.linear.bias"] = t(g[conv]["bias"])
+    # with return_feature=True + use_GCN the wider linear/matchatt are
+    # allocated (model.py:693-694) but the forward returns emotions first
+    dead = RELATION_DEAD + tuple(
+        f"graph_net_{m}.{mod}." for m in "avl" for mod in
+        ("linear", "matchatt"))
+    _assert_covered(ref, sd, dead)
+    ref.eval()
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nrelation/use_GCN real-reference forward diff: "
+          f"max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+    # pin the upstream degeneracy: conv3 over any packed inputs equals its
+    # bare linear (identity adjacency from the empty topicLabel)
+    ref_model, _ = load_reference()
+    torch.manual_seed(0)
+    conv = ref_model.GCNLayer1(6, 4, False)        # use_topic=False,
+    x = torch.randn(B * L, 6)                      # new_graph stays True
+    with torch.no_grad():
+        out = conv(x, [L] * B, [])
+        bare = conv.linear(x)
+    assert torch.allclose(out, bare, atol=0, rtol=0)
 
 
 def test_relation_single_stream_forward_matches_real_reference(rng):
