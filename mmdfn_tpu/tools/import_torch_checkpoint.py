@@ -12,13 +12,16 @@ Scope: every family the reference trainer can save — the family is
 auto-detected from OUR param-tree template, so the config decides:
 
 * ``DialogueGNNModel`` graph types GDF/GF (flagship GCNII), GF2 (MM_GCN2),
-  multimodal ``relation`` (RGCN+GraphConv), ``DeepGCN`` (three per-modality
-  GCNII baselines, ``model.py:930-940``), ``GCN3`` (two GCNLayer1 over the
-  speaker chain, ``model.py:910-921``), and ``'None'`` (per-modality linear
-  + fusion head, ``model.py:960-976``) — each with any fusion head the
-  forward actually runs (``gated``/``tfn_only``/``lmf_only``/``mfn``
-  params are mapped whenever OUR tree allocates them), with or without
-  ``--av_using_lstm`` (``lstm_a``/``lstm_v`` encoders).
+  multimodal ``relation`` (RGCN+GraphConv, with or without ``--use_gcn``'s
+  degenerate conv3/conv4 linears — DESIGN.md) and its single-stream
+  variant (``att_type='concat'``, ``model.py:819-824``), ``DeepGCN``
+  (three per-modality GCNII baselines, ``model.py:930-940``), ``GCN3``
+  (two GCNLayer1 over the speaker chain, ``model.py:910-921``), and
+  ``'None'`` (per-modality linear + fusion head, ``model.py:960-976``) —
+  each with any fusion head the forward actually runs
+  (``gated``/``tfn_only``/``lmf_only``/``mfn`` params are mapped whenever
+  OUR tree allocates them), with or without ``--av_using_lstm``
+  (``lstm_a``/``lstm_v`` encoders).
 * the non-graph baselines the reference trains with ``--graph_model``
   false: ``GRUModel``/``LSTMModel`` (``model.py:281-356``) and
   ``DialogRNNModel`` (``model.py:359-417``, simple/general context
@@ -117,7 +120,7 @@ def _dead_prefixes(family: str, params: Mapping) -> tuple:
     or reason-LSTM is dead exactly when our tree lacks it)."""
     if family in ("GRU", "LSTM", "DialogRNN"):
         return ()                    # the baselines run every parameter
-    if family == "relation":
+    if family in ("relation", "relation_single"):
         # att_model.scalar IS live on the relation path (attn1 edge
         # weights, model.py:445); the other branches are dead there
         dead = ["att_model.matchatt.", "att_model.simpleatt.",
@@ -173,6 +176,9 @@ def _detect_family(params: Mapping) -> str:
             return "relation"        # three RGCN+GraphConv nets
         if "kernel" in g:
             return "None"            # per-modality linear (model.py:960-976)
+    g = params.get("graph_net")
+    if g is not None and "conv1" in g:
+        return "relation_single"     # att_type='concat' (model.py:819-824)
     if "head" in params:             # non-graph baselines (graph_model=False)
         if "gru" in params:
             return "GRU"
@@ -293,37 +299,62 @@ def _gf2_from_sd(sd: Mapping, params: Dict, used: set) -> int:
     return nlayers
 
 
-def _relation_from_sd(sd: Mapping, params: Dict, used: set) -> None:
-    """Multimodal relation path: attn1 edge attention + three
-    RGCNConv+GraphConv nets (``model.py:675-715,1183-1223``).  Orientations
+def _relation_net_from_sd(sd: Mapping, params: Dict, used: set,
+                          net: str) -> None:
+    """One RGCNConv+GraphConv net (``model.py:675-715``).  Orientations
     follow PyG-1.4.3: basis/root/GraphConv.weight apply ``matmul(x, W)`` —
     same as our (in, out) kernels — so only ``conv2.lin`` transposes."""
+    pre = f"{net}."
+    _set(params, (net, "conv1", "basis"),
+         _np(sd[pre + "conv1.basis"]), used)
+    _set(params, (net, "conv1", "comp"),
+         _np(sd[pre + "conv1.att"]), used)
+    _set(params, (net, "conv1", "root"),
+         _np(sd[pre + "conv1.root"]), used)
+    _set(params, (net, "conv1", "bias"),
+         _np(sd[pre + "conv1.bias"]), used)
+    _set(params, (net, "conv2", "nbr", "kernel"),
+         _np(sd[pre + "conv2.weight"]), used)
+    _set(params, (net, "conv2", "root", "kernel"),
+         _np(sd[pre + "conv2.lin.weight"]).T, used)
+    _set(params, (net, "conv2", "root", "bias"),
+         _np(sd[pre + "conv2.lin.bias"]), used)
+    # --use_gcn: conv3/conv4 are plain linears (the upstream "GCN
+    # branch" runs an identity adjacency — DESIGN.md faithful quirk)
+    if "conv3" in params[net]:
+        for conv in ("conv3", "conv4"):
+            _set(params, (net, conv, "kernel"),
+                 _np(sd[pre + f"{conv}.linear.weight"]).T, used)
+            _set(params, (net, conv, "bias"),
+                 _np(sd[pre + f"{conv}.linear.bias"]), used)
+
+
+def _relation_from_sd(sd: Mapping, params: Dict, used: set) -> None:
+    """Multimodal relation path: attn1 edge attention + three
+    RGCNConv+GraphConv nets (``model.py:675-715,1183-1223``)."""
     _set(params, ("att_model", "scalar", "kernel"),
          _np(sd["att_model.scalar.weight"]).T, used)
     for m in ("a", "v", "l"):
-        net, pre = f"graph_net_{m}", f"graph_net_{m}."
-        _set(params, (net, "conv1", "basis"),
-             _np(sd[pre + "conv1.basis"]), used)
-        _set(params, (net, "conv1", "comp"),
-             _np(sd[pre + "conv1.att"]), used)
-        _set(params, (net, "conv1", "root"),
-             _np(sd[pre + "conv1.root"]), used)
-        _set(params, (net, "conv1", "bias"),
-             _np(sd[pre + "conv1.bias"]), used)
-        _set(params, (net, "conv2", "nbr", "kernel"),
-             _np(sd[pre + "conv2.weight"]), used)
-        _set(params, (net, "conv2", "root", "kernel"),
-             _np(sd[pre + "conv2.lin.weight"]).T, used)
-        _set(params, (net, "conv2", "root", "bias"),
-             _np(sd[pre + "conv2.lin.bias"]), used)
-        # --use_gcn: conv3/conv4 are plain linears (the upstream "GCN
-        # branch" runs an identity adjacency — DESIGN.md faithful quirk)
-        if "conv3" in params[net]:
-            for conv in ("conv3", "conv4"):
-                _set(params, (net, conv, "kernel"),
-                     _np(sd[pre + f"{conv}.linear.weight"]).T, used)
-                _set(params, (net, conv, "bias"),
-                     _np(sd[pre + f"{conv}.linear.bias"]), used)
+        _relation_net_from_sd(sd, params, used, f"graph_net_{m}")
+
+
+def _relation_single_from_sd(sd: Mapping, params: Dict, used: set) -> None:
+    """Single-stream relation (att_type='concat' flips multi_modal off,
+    ``model.py:819-824``): its OWN encoder layout — one ``linear_``
+    projection + ``lstm`` text bi-GRU (``model.py:842-851,1040-1072``) —
+    and one GraphNetwork carrying the full in-net classifier
+    (``classify_node_features``, ``model.py:647-672``)."""
+    _set(params, ("linear_", "kernel"), _np(sd["linear_.weight"]).T, used)
+    _set(params, ("linear_", "bias"), _np(sd["linear_.bias"]), used)
+    for name in ("lstm", "rnn_parties"):
+        if name in params:
+            _gru_from_sd(sd, name, params, name, used)
+    _set(params, ("att_model", "scalar", "kernel"),
+         _np(sd["att_model.scalar.weight"]).T, used)
+    _relation_net_from_sd(sd, params, used, "graph_net")
+    head = {k: v for k, v in params["graph_net"].items()
+            if k in ("matchatt", "linear", "smax_fc")}
+    _dense_from_sd(sd, "graph_net.", head, ("graph_net",), params, used)
 
 
 def _deepgcn_from_sd(sd: Mapping, params: Dict, used: set) -> None:
@@ -446,6 +477,8 @@ def state_dict_to_params(sd: Mapping[str, Any], params: Mapping) -> Dict:
         _basic_recurrent_from_sd(sd, params, used, family.lower())
     elif family == "DialogRNN":
         _dialogrnn_from_sd(sd, params, used)
+    elif family == "relation_single":
+        _relation_single_from_sd(sd, params, used)
     else:
         _shared_from_sd(sd, params, used)
         if family == "GDF":

@@ -285,6 +285,61 @@ def test_import_relation_use_gcn_checkpoint_reproduces_forward(rng):
     assert diff.max() < 1e-4
 
 
+def test_import_relation_single_stream_checkpoint_reproduces_forward(rng):
+    """Single-stream relation (att_type='concat'): its own encoder layout
+    (linear_ + lstm) and the GraphNetwork's full in-net classifier import
+    with forward agreement."""
+    from mmdfn_tpu.models import DialogueGNN
+    from test_reference_oracle import (ALPHA, LAMDA, DATASETS, D_A, D_E,
+                                       D_G, D_H, D_P, GRAPH_H,
+                                       load_reference)
+
+    B, L = 2, 6
+    d = DATASETS["IEMOCAP"]
+    torch.manual_seed(19)
+    ref_model, _ = load_reference()
+    ref = ref_model.DialogueGNNModel(
+        "LSTM", d["d_text"], D_G, D_P, D_E, D_H, D_A, GRAPH_H,
+        n_speakers=d["n_speakers"], max_seq_len=200, window_past=10,
+        window_future=10, n_classes=d["n_classes"], listener_state=False,
+        context_attention="general", dropout=0.4, nodal_attention=True,
+        no_cuda=True, graph_type="relation", use_topic=False, alpha=ALPHA,
+        lamda=LAMDA, multiheads=6, graph_construct="direct", use_GCN=False,
+        use_residue=True, D_m_v=d["d_visual"], D_m_a=d["d_audio"],
+        modals="avl", att_type="concat", av_using_lstm=False,
+        Deep_GCN_nlayers=2, dataset="IEMOCAP", use_speaker=False,
+        use_modal=False, reason_flag=False, multi_modal=True,  # flips off
+        use_crn_speaker=True, speaker_weights=d["sw"], modal_weight=1.0)
+    assert not ref.multi_modal
+    ref.eval()
+
+    batch = make_exact_batch(rng, B, L)
+    from test_reference_oracle import reference_forward
+    with torch.no_grad():
+        theirs = reference_forward(ref, batch).numpy()
+
+    ours_model = DialogueGNN(
+        base_model="LSTM", D_m=d["d_text"], D_m_a=d["d_audio"],
+        D_m_v=d["d_visual"], n_speakers=d["n_speakers"],
+        n_classes=d["n_classes"], dropout=0.4, graph_type="relation",
+        att_type="concat", multi_modal=False, reason_flag=False,
+        deep_gcn_nlayers=2, use_crn_speaker=True, speaker_weights=d["sw"],
+        alpha=ALPHA, lamda=LAMDA)
+    template = ours_model.init(
+        jax.random.PRNGKey(0), jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        deterministic=True)
+    params = state_dict_to_params(ref.state_dict(), template["params"])
+    ours = np.asarray(ours_model.apply(
+        {"params": params}, jnp.array(batch["text"]),
+        jnp.array(batch["qmask"]), jnp.array(batch["umask"]),
+        deterministic=True))
+    diff = np.abs(ours.reshape(B * L, -1) - theirs)
+    print(f"\nrelation single-stream imported-weights diff: "
+          f"max={diff.max():.2e}")
+    assert diff.max() < 1e-4
+
+
 @pytest.mark.parametrize("reason_flag", [True, False])
 def test_import_deepgcn_checkpoint_reproduces_forward(rng, reason_flag):
     """DeepGCN import (three per-modality GCNII stacks, model.py:930-940):
