@@ -120,7 +120,7 @@ def main():
 
     out["ok"] = (all(c["bitwise"] for k, c in out["checks"].items()
                      if isinstance(c, dict) and "bitwise" in c)
-                 and all(vm_ok.values()))
+                 and all(vm_ok.values()) and all(slot_eq.values()))
     with open("DYNRATE_r05.json", "w") as f:
         f.write(json.dumps(out) + "\n")
     print("wrote DYNRATE_r05.json ok=", out["ok"], flush=True)

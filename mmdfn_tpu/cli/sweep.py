@@ -117,7 +117,11 @@ def main(argv=None) -> int:
         # sequential path below)
         results = run_grouped_sweep(base, todo, train, test, verbose=True,
                                     mesh=mesh, save_dir=out_dir, resume=True)
-        with open(summary_path, "a") as f:
+        # mode "w", not "a": resume returns EVERY group's rows each
+        # invocation (finished groups come from their 'final' markers), so
+        # rewriting keeps summary.jsonl idempotent across re-runs — the
+        # sequential path below appends because it skips finished combos
+        with open(summary_path, "w") as f:
             for res in results:
                 for k, combo in enumerate(res.combos):
                     row = dict(tag=combo_tag(combo), **combo,

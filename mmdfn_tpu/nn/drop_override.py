@@ -159,6 +159,5 @@ class Dropout(nn.Module):
             return x
         if ov is None and self.rate == 1.0:
             return jnp.zeros_like(x)
-        keep, inv, _ = (resolve(None, self.rate) if ov is None
-                        else (ov.keep, ov.inv_keep, ov))
+        keep, inv, _ = resolve(self.rate_tag, self.rate)
         return dropout(x, self.make_rng("dropout"), keep, inv)

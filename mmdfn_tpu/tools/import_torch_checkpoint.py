@@ -198,7 +198,9 @@ def _shared_from_sd(sd: Mapping, params: Dict, used: set) -> None:
     CRN party bi-GRU (and the ``--av_using_lstm`` audio/visual bi-GRUs
     when our tree allocates them), smax head."""
     for m in ("a", "v", "l"):
-        _set(params, (f"linear_{m}", "kernel"),
+        if f"linear_{m}" not in params:   # modal subset: skipped nets'
+            continue                       # checkpoint keys fail the stray
+        _set(params, (f"linear_{m}", "kernel"),   # check with the full list
              _np(sd[f"linear_{m}.weight"]).T, used)
         _set(params, (f"linear_{m}", "bias"),
              _np(sd[f"linear_{m}.bias"]), used)
@@ -335,6 +337,8 @@ def _relation_from_sd(sd: Mapping, params: Dict, used: set) -> None:
     _set(params, ("att_model", "scalar", "kernel"),
          _np(sd["att_model.scalar.weight"]).T, used)
     for m in ("a", "v", "l"):
+        if f"graph_net_{m}" not in params:   # modal subset (cf. _none)
+            continue
         _relation_net_from_sd(sd, params, used, f"graph_net_{m}")
 
 
@@ -363,6 +367,8 @@ def _deepgcn_from_sd(sd: Mapping, params: Dict, used: set) -> None:
     per-layer conv weights, and the shared reason-LSTM when our tree runs
     it (reason_flag)."""
     for m in ("a", "v", "l"):
+        if f"graph_net_{m}" not in params:   # modal subset (cf. _none)
+            continue
         g = (f"graph_net_{m}", "stack")
         node = params[f"graph_net_{m}"]["stack"]
         _set(params, g + ("fc_in", "kernel"),
@@ -389,6 +395,8 @@ def _gcn3_from_sd(sd: Mapping, params: Dict, used: set) -> None:
     speaker chain (``model.py:910-921``, ``model_GCN.py:121-154``); each
     layer is one linear."""
     for m in ("a", "v", "l"):
+        if f"graph_net_{m}" not in params:   # modal subset (cf. _none)
+            continue
         for layer in ("gcn1", "gcn2"):
             _set(params, (f"graph_net_{m}", layer, "TorchDense_0", "kernel"),
                  _np(sd[f"graph_net_{m}.{layer}.linear.weight"]).T, used)

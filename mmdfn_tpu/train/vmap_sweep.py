@@ -119,7 +119,14 @@ class VmapSweep:
         # key that VARIES outside the stackable set would otherwise train K
         # copies of the base value while reporting the asked-for grid:
         # silently wrong sweep science, so refuse loudly.
-        STACKABLE = ("lr", "l2", "gamma", "dropout")
+        # dropout rides the traced rate override, which only DialogueGNN's
+        # cfg.dropout-derived sites consult (the rate_tag wiring); for the
+        # non-graph baselines a stacked rate would be silently IGNORED —
+        # every config would train at the shared rate while reporting the
+        # asked-for grid — so there dropout is a static key instead
+        # (identical -> folded into the shared config, varying -> refused)
+        STACKABLE = (("lr", "l2", "gamma", "dropout")
+                     if base_cfg.graph_model else ("lr", "l2", "gamma"))
         static = {}
         keys = {k for c in combos for k in c}
         for k in keys:
@@ -169,13 +176,15 @@ class VmapSweep:
                                             jnp.float32))
         self.gamma = self._shard_k(jnp.asarray(
             [c.get("gamma", base_cfg.gamma) for c in combos], jnp.float32))
-        if any("dropout" in c for c in self.combos):
+        if ("dropout" in STACKABLE
+                and any("dropout" in c for c in self.combos)):
             # per-config traced dropout rate: thresholds precomputed
             # host-side in exact integer math so the fused kernel's draws
             # are bit-identical with a static-rate run (nn/drop_override.py)
             from mmdfn_tpu.nn.drop_override import make_drop_rate
             self.droprate = self._shard_k(make_drop_rate(
-                [float(c.get("dropout", base_cfg.dropout)) for c in combos]))
+                [float(c.get("dropout", self.cfg.dropout))
+                 for c in combos]))
         else:
             self.droprate = None
         alpha = self.cfg.class_weights_or_none()

@@ -74,6 +74,25 @@ def test_vmap_refuses_non_stackable_varying_key():
     assert sweep.cfg.alpha == 0.3
 
 
+def test_vmap_refuses_stacked_dropout_for_override_blind_models():
+    """Only DialogueGNN's dropout sites consult the traced rate override;
+    a non-graph baseline would silently train every config at the shared
+    rate while reporting the dropout grid — so there a VARYING dropout is
+    refused and an identical one folds into the shared config (with no
+    override installed at all)."""
+    with pytest.raises(ValueError, match="dropout"):
+        VmapSweep(base_cfg(graph_model=False, base_model="GRU",
+                           reason_flag=False),
+                  [dict(lr=1e-4, l2=1e-4, dropout=0.2),
+                   dict(lr=1e-4, l2=1e-4, dropout=0.4)])
+    sweep = VmapSweep(base_cfg(graph_model=False, base_model="GRU",
+                               reason_flag=False, dropout=0.5),
+                      [dict(lr=1e-4, l2=1e-4, dropout=0.2),
+                       dict(lr=3e-4, l2=1e-4, dropout=0.2)])
+    assert sweep.cfg.dropout == 0.2
+    assert sweep.droprate is None
+
+
 def _histories_match(got, want, loss_atol=2e-3):
     """Same selections/predictions, losses within ulp-drift tolerance.
 
