@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import json
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -48,6 +49,15 @@ from mmdfn_tpu.data.batching import BucketBatcher
 from mmdfn_tpu.losses import focal_loss
 from mmdfn_tpu.train import metrics as M
 from mmdfn_tpu.train.trainer import Trainer, prepare_inputs
+
+
+
+def _canon_combos(combos):
+    """Checkpoint-identity form of a combo list: the saved meta rides a
+    JSON round-trip (tuples -> lists, ints -> the JSON number model), so
+    the wrong-group check must compare in that canonical form or a
+    tuple-valued combo key (e.g. buckets) never matches its own save."""
+    return json.loads(json.dumps(list(combos)))
 
 
 @dataclass
@@ -118,13 +128,11 @@ class VmapSweep:
         # identical across the group — fold it into the shared config.  A
         # key that VARIES outside the stackable set would otherwise train K
         # copies of the base value while reporting the asked-for grid:
-        # silently wrong sweep science, so refuse loudly.
-        # dropout rides the traced rate override, which only DialogueGNN's
-        # cfg.dropout-derived sites consult (the rate_tag wiring); for the
-        # non-graph baselines a stacked rate would be silently IGNORED —
-        # every config would train at the shared rate while reporting the
-        # asked-for grid — so there dropout is a static key instead
-        # (identical -> folded into the shared config, varying -> refused)
+        # silently wrong sweep science, so refuse loudly.  The override is
+        # only consulted by DialogueGNN's cfg.dropout-derived sites (the
+        # rate_tag wiring), so for non-graph baseline configs a stacked
+        # rate would be silently ignored — there dropout is a static key
+        # instead (identical -> folded, varying -> refused).
         STACKABLE = (("lr", "l2", "gamma", "dropout")
                      if base_cfg.graph_model else ("lr", "l2", "gamma"))
         static = {}
@@ -313,7 +321,7 @@ class VmapSweep:
                                           info["n_speakers"], cfg.buckets))
         if resume and save_dir and ckpt_lib.has_checkpoint(save_dir, "final"):
             meta = ckpt_lib.read_meta(save_dir, "final")
-            if meta.get("combos") != self.combos:
+            if meta.get("combos") != _canon_combos(self.combos):
                 raise ValueError(
                     f"final checkpoint under {save_dir!r} was written for a "
                     "different combo group; point each group at its own "
@@ -341,7 +349,7 @@ class VmapSweep:
         if resume and save_dir and ckpt_lib.has_checkpoint(save_dir, "last"):
             (params, opt), meta = ckpt_lib.restore_checkpoint(
                 save_dir, (params, opt), name="last")
-            if meta.get("combos") != self.combos:
+            if meta.get("combos") != _canon_combos(self.combos):
                 raise ValueError(
                     f"'last' checkpoint under {save_dir!r} was written for a "
                     "different combo group")

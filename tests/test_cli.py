@@ -72,6 +72,51 @@ def test_cli_end_to_end(tmp_path):
     assert len(acts.files) > 5  # per-module intermediate dumps exist
 
 
+def test_sweep_cli_vmap_end_to_end_and_summary_idempotent(tmp_path,
+                                                         monkeypatch):
+    """The sweep CLI's --vmap path end to end on a monkeypatched tiny grid:
+    mixed-dropout combos group as ONE vmapped group per layer count, the
+    group checkpoints under out_dir, and re-invoking the finished sweep
+    returns the saved results WITHOUT duplicating summary.jsonl rows
+    (the resume path rewrites the summary instead of appending)."""
+    import json as _json
+
+    import mmdfn_tpu.cli.sweep as sweep_cli
+    from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
+
+    tiny = {"IEMOCAP": dict(
+        Deep_GCN_nlayers=[2], lr=[1e-3, 3e-3], l2=[1e-4],
+        dropout=[0.2, 0.4], gamma=[0.5],
+        fixed=dict(speaker_weights="3-0-1", class_weight=True,
+                   reason_flag=True, graph_type="GDF", valid_rate=0.0,
+                   buckets=(8,)))}
+    monkeypatch.setattr(sweep_cli, "GRIDS", tiny)
+
+    pkl = str(tmp_path / "iem.pkl")
+    make_synthetic_iemocap_pickle(pkl, n_train=4, n_test=2, min_len=4,
+                                  max_len=8, seed=2)
+    out = str(tmp_path / "sweep")
+    argv = ["--dataset", "IEMOCAP", "--data_dir", pkl, "--epochs", "2",
+            "--batch-size", "2", "--out_dir", out, "--vmap"]
+    assert sweep_cli.main(argv) == 0
+
+    summary = os.path.join(out, "summary.jsonl")
+    rows = [_json.loads(l) for l in open(summary)]
+    assert len(rows) == 4                       # 2 lr x 2 dropout, one group
+    tags = {r["tag"] for r in rows}
+    assert len(tags) == 4
+    assert {r["dropout"] for r in rows} == {0.2, 0.4}
+
+    # second invocation: finished group loads from its 'final' marker and
+    # the summary is rewritten, not appended
+    assert sweep_cli.main(argv) == 0
+    rows2 = [_json.loads(l) for l in open(summary)]
+    assert len(rows2) == 4
+    assert [r["tag"] for r in rows2] == [r["tag"] for r in rows]
+    assert [r["best_test_fscore"] for r in rows2] == \
+        [r["best_test_fscore"] for r in rows]
+
+
 def test_cli_test_label_missing_checkpoint(tmp_path, capsys):
     from mmdfn_tpu.data.synthetic import make_synthetic_iemocap_pickle
     pkl = str(tmp_path / "iem.pkl")
