@@ -83,6 +83,10 @@ def main(argv=None) -> int:
                     help="with --vmap: shard the stacked config axis over "
                          "this many devices (config parallelism; each device "
                          "trains its slice of the grid, zero collectives)")
+    ap.add_argument("--tpu_fast", action="store_true", default=False,
+                    help="run every combo with the measured-fastest "
+                         "production kernel configuration (same preset as "
+                         "run_train_erc --tpu_fast)")
     args = ap.parse_args(argv)
     out_dir = args.out_dir or f"outputs/sweep_{args.dataset.lower()}"
     os.makedirs(out_dir, exist_ok=True)
@@ -98,6 +102,8 @@ def main(argv=None) -> int:
     base = ExperimentConfig(dataset=args.dataset, data_dir=args.data_dir,
                             epochs=args.epochs, batch_size=args.batch_size,
                             seed=args.seed)
+    if args.tpu_fast:
+        base = base.with_tpu_fast()
     train, valid, test = load_dialogues(base)
 
     summary_path = os.path.join(out_dir, "summary.jsonl")
