@@ -255,6 +255,51 @@ def _forward_pair(ref, ours_model, batch, B, L):
     return ours.reshape(B * L, -1), theirs
 
 
+def test_import_then_streaming_serve_matches_reference(rng, tmp_path):
+    """The COMPLETE migration chain a reference user performs: torch.save
+    whole-module pickle -> importer CLI (writes our checkpoint format) ->
+    restore -> per-utterance streaming serve — and every streamed
+    prediction agrees with the REAL reference's forward on the same
+    prefix."""
+    from mmdfn_tpu.config import ExperimentConfig
+    from mmdfn_tpu.runtime import checkpoint as ckpt_lib
+    from mmdfn_tpu.serve import StreamingSession
+    from mmdfn_tpu.tools.import_torch_checkpoint import main as import_main
+    from mmdfn_tpu.train import Trainer
+
+    NL, L = 2, 6
+    torch.manual_seed(21)
+    ref = build_reference_model(NL, dropout=0.3)
+    ref.eval()
+    pkl_path = str(tmp_path / "ref_model.pkl")
+    torch.save(ref, pkl_path)
+    out_dir = str(tmp_path / "imported")
+    assert import_main(["--load_model", pkl_path, "--out", out_dir,
+                        "--Deep_GCN_nlayers", str(NL)]) == 0
+
+    cfg = ExperimentConfig(graph_type="GDF", reason_flag=True,
+                           Deep_GCN_nlayers=NL, speaker_weights="3-0-1")
+    trainer = Trainer(cfg)
+    state, _ = ckpt_lib.restore_checkpoint(out_dir, trainer.init_state())
+    session = StreamingSession(trainer, state, buckets=(8,))
+
+    batch = make_exact_batch(rng, 1, L)
+    logps = []
+    for t in range(L):
+        spk = int(np.argmax(batch["qmask"][0, t]))
+        _, logp = session.append(batch["text"][0, t], batch["audio"][0, t],
+                                 batch["visual"][0, t], spk)
+        logps.append(np.asarray(logp))
+
+    for t in (2, L - 1):             # mid-dialogue and full-length prefixes
+        prefix = {k: v[:, : t + 1] for k, v in batch.items()}
+        with torch.no_grad():
+            theirs = reference_forward(ref, prefix).numpy()
+        diff = np.abs(logps[t] - theirs[t])
+        print(f"\nstreamed-vs-reference prefix t={t}: max={diff.max():.2e}")
+        assert diff.max() < 1e-4
+
+
 def test_import_relation_use_gcn_checkpoint_reproduces_forward(rng):
     """--use_gcn relation checkpoints: conv3/conv4 (plain linears — the
     upstream 'GCN branch' runs an identity adjacency, DESIGN.md) import
